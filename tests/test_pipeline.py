@@ -1,0 +1,119 @@
+"""End-to-end device pipeline tests: sorted bucket accumulation, BPR, and the
+full cuZK MSM vs the python ground truth — the analogue of the reference's
+per-stage debug validators (submission.ts:892-1363) and end-to-end fixture
+check (ui/Benchmark.tsx:41-51)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from webgpu_msm_twisted_edwards_tpu.cpu.curve import naive_msm
+from webgpu_msm_twisted_edwards_tpu.cpu.mirrors import (
+    bucket_accumulation_signed,
+    cuzk_serial_msm,
+    decompose_scalars_signed as cpu_decompose,
+    running_sum_bucket_reduction,
+)
+from webgpu_msm_twisted_edwards_tpu.models import cuzk
+from webgpu_msm_twisted_edwards_tpu.ops import bpr as BPR
+from webgpu_msm_twisted_edwards_tpu.ops import buckets as B
+from webgpu_msm_twisted_edwards_tpu.ops import convert as CV
+from webgpu_msm_twisted_edwards_tpu.utils import limbs as L
+from webgpu_msm_twisted_edwards_tpu.utils.params import MsmConfig
+
+from conftest import random_points_scalars
+from test_curve_ops import from_dev, to_dev
+
+
+def _inputs(n, seed):
+    pts, scalars = random_points_scalars(n, seed=seed)
+    coords = np.stack(
+        [L.ints_to_u32_words([p.x for p in pts]), L.ints_to_u32_words([p.y for p in pts])],
+        axis=1,
+    )
+    sc = L.ints_to_u32_words(scalars)
+    return pts, scalars, jnp.asarray(coords), jnp.asarray(sc)
+
+
+def test_sort_buckets_layout():
+    cfg = MsmConfig(chunk_size=4)
+    pts, scalars, coords, sc = _inputs(32, seed=31)
+    digits = CV.decompose_scalars_signed(sc, cfg)
+    sb = B.sort_buckets(digits, cfg)
+    nd = np.asarray(digits)
+    nb = cfg.num_buckets
+    for w in range(cfg.num_windows):
+        keys = np.asarray(sb.keys[w])
+        assert (np.diff(keys) >= 0).all()
+        counts = np.asarray(sb.counts[w])
+        starts = np.asarray(sb.starts[w])
+        for b in range(nb):
+            want = int(np.sum(np.abs(nd[:, w]) == b + 1))
+            assert counts[b] == want
+            seg = np.asarray(sb.point_idx[w])[starts[b] : starts[b] + counts[b]]
+            assert set(seg.tolist()) == set(np.nonzero(np.abs(nd[:, w]) == b + 1)[0].tolist())
+
+
+def test_bucket_accumulation_vs_cpu_mirror():
+    cfg = MsmConfig(chunk_size=4)
+    pts, scalars, coords, sc = _inputs(32, seed=32)
+    digits_dev = CV.decompose_scalars_signed(sc, cfg)
+    sb = B.sort_buckets(digits_dev, cfg)
+    xm, ym, tm = CV.points_to_mont_limbs(coords)
+    import webgpu_msm_twisted_edwards_tpu.ops.curve as C
+    from webgpu_msm_twisted_edwards_tpu.ops import field as F
+
+    z = jnp.broadcast_to(F.r_limbs(), xm.shape)
+    table = C.PointXYTZ(xm, ym, tm, z)
+    acc = B.accumulate_buckets(table, sb)
+
+    digits_cpu = cpu_decompose(scalars, cfg.num_windows, cfg.chunk_size)
+    want = bucket_accumulation_signed(pts, digits_cpu, cfg.num_windows, cfg.chunk_size)
+    for w in range(cfg.num_windows):
+        got_row = from_dev(acc[w])
+        for b in range(cfg.num_buckets):
+            g, e = got_row[b], want[w][b]
+            if e.is_identity():
+                assert g.is_identity()
+            else:
+                assert g.to_affine() == e.to_affine()
+
+
+def test_bpr_vs_cpu_mirror():
+    cfg = MsmConfig(chunk_size=4)
+    pts, scalars, coords, sc = _inputs(48, seed=33)
+    digits_cpu = cpu_decompose(scalars, cfg.num_windows, cfg.chunk_size)
+    want_buckets = bucket_accumulation_signed(pts, digits_cpu, cfg.num_windows, cfg.chunk_size)
+    dev_buckets_rows = [to_dev(row) for row in want_buckets]
+    import webgpu_msm_twisted_edwards_tpu.ops.curve as C
+
+    stacked = C.PointXYTZ(
+        jnp.stack([r.x for r in dev_buckets_rows]),
+        jnp.stack([r.y for r in dev_buckets_rows]),
+        jnp.stack([r.t for r in dev_buckets_rows]),
+        jnp.stack([r.z for r in dev_buckets_rows]),
+    )
+    got = from_dev(BPR.reduce_buckets(stacked, num_chunks=4))
+    want = [running_sum_bucket_reduction(row) for row in want_buckets]
+    for g, e in zip(got, want):
+        if e.is_identity():
+            assert g.is_identity()
+        else:
+            assert g.to_affine() == e.to_affine()
+
+
+@pytest.mark.parametrize("n,chunk_size", [(64, 4), (256, 16)])
+def test_compute_msm_end_to_end(n, chunk_size):
+    pts, scalars, _, _ = _inputs(n, seed=34)
+    expected = naive_msm(pts, scalars).to_affine()
+    got = cuzk.compute_msm(
+        [(p.x, p.y) for p in pts], scalars, chunk_size=chunk_size, bpr_chunks=4
+    )
+    assert (got["x"], got["y"]) == expected
+
+
+def test_compute_msm_zero_scalars():
+    pts, scalars, _, _ = _inputs(16, seed=35)
+    got = cuzk.compute_msm([(p.x, p.y) for p in pts], [0] * 16, chunk_size=4, bpr_chunks=4)
+    # 0 * anything = identity -> affine (0, 1).
+    assert (got["x"], got["y"]) == (0, 1)

@@ -1,0 +1,24 @@
+"""TPU-native multi-scalar multiplication (MSM) framework for the Twisted
+Edwards BLS12 curve (ed-on-bls12-377).
+
+A from-scratch JAX/XLA/Pallas re-design with the capabilities of the ZPrize
+2023 "Beat the Best (WASM)" WebGPU submission (reference:
+td-kwj-zp2023/webgpu-msm-twisted-edwards): a cuZK-style pipeline — signed
+window decomposition, sorted bucket accumulation, parallel running-sum bucket
+reduction — over 13-bit-limb Montgomery field arithmetic, scaled across chips
+with jax.sharding.
+"""
+
+from .models.cuzk import compute_msm
+from .utils.params import EDWARDS_A, EDWARDS_D, P, PARAMS, SUBGROUP_ORDER, MsmConfig
+
+__all__ = [
+    "compute_msm",
+    "P",
+    "EDWARDS_A",
+    "EDWARDS_D",
+    "SUBGROUP_ORDER",
+    "PARAMS",
+    "MsmConfig",
+]
+__version__ = "0.1.0"

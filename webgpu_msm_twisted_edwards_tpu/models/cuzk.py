@@ -1,0 +1,139 @@
+"""The flagship MSM engine: the full cuZK-style pipeline as one jitted XLA
+program per (n, window-size) shape class.
+
+TPU re-design of the reference orchestrator
+(reference: src/submission/submission.ts:73-412 `compute_msm`):
+
+    stage 1  convert + decompose   (ops.convert)     — batch kernel over points
+    stage 2  transpose             (ops.buckets.sort_buckets, lax.sort based)
+    stage 3  SMVP                  (ops.buckets.accumulate_buckets)
+    stage 4  BPR                   (ops.bpr.reduce_buckets)
+    host     un-Montgomery + Horner + to-affine      (cpu reference layer)
+
+The device program returns only the 16 per-window sums (a few KB), matching
+the reference's design principle of writing inputs once and reading back only
+the reduced result (reference: README.md:99-102, submission.ts:351-412).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cpu.curve import ExtPoint
+from ..cpu.mirrors import horner
+from ..ops import bpr as BPR
+from ..ops import buckets as B
+from ..ops import convert as CV
+from ..ops import curve as C
+from ..utils import limbs as L
+from ..utils.params import PARAMS, MsmConfig, default_msm_config
+
+
+def msm_window_sums_device(
+    coords_u32: jnp.ndarray,
+    scalars_u32: jnp.ndarray,
+    cfg: MsmConfig,
+    bpr_chunks: int = 256,
+) -> C.PointXYTZ:
+    """Device pipeline: [n,2,8], [n,8] uint32 -> [W] window-sum points in
+    Montgomery-form limbs.  Pure function of its inputs; jit-safe."""
+    params = PARAMS
+    xm, ym, tm = CV.points_to_mont_limbs(coords_u32, params)
+    n = coords_u32.shape[0]
+    z = jnp.broadcast_to(jnp.asarray(_r_limbs_np()), (n, params.num_words))
+    points = C.PointXYTZ(xm, ym, tm, z)
+
+    digits = CV.decompose_scalars_signed(scalars_u32, cfg)
+    sb = B.sort_buckets(digits, cfg)
+    buckets = B.accumulate_buckets(points, sb, params)
+    return BPR.reduce_buckets(buckets, num_chunks=bpr_chunks, params=params)
+
+
+def _r_limbs_np():
+    params = PARAMS
+    out = np.empty(params.num_words, dtype=np.uint32)
+    for i in range(params.num_words):
+        out[i] = (params.r >> (i * params.word_size)) & params.mask
+    return out
+
+
+@lru_cache(maxsize=None)
+def _jitted_pipeline(chunk_size: int, bpr_chunks: int):
+    cfg = MsmConfig(chunk_size=chunk_size)
+    fn = partial(msm_window_sums_device, cfg=cfg, bpr_chunks=bpr_chunks)
+    return jax.jit(fn)
+
+
+def window_sums_to_extpoints(sums: C.PointXYTZ) -> list[ExtPoint]:
+    """Read back [W] Montgomery-limb window sums and convert to python-int
+    extended points (un-Montgomery on host; reference: submission.ts:363-393)."""
+    params = PARAMS
+    arrs = [np.asarray(sums.x), np.asarray(sums.y), np.asarray(sums.t), np.asarray(sums.z)]
+    out = []
+    w = arrs[0].shape[0]
+    for i in range(w):
+        x, y, t, z = (L.words_le_to_int(a[i], params.word_size) for a in arrs)
+        out.append(
+            ExtPoint(
+                params.from_mont(x),
+                params.from_mont(y),
+                params.from_mont(t),
+                params.from_mont(z),
+            )
+        )
+    return out
+
+
+def prepare_inputs(
+    points: Sequence[tuple[int, int]] | np.ndarray,
+    scalars: Sequence[int] | np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side packing into the device input layout: affine points ->
+    [n, 2, 8] uint32 LE words; scalars -> [n, 8] uint32 LE words.
+
+    The analogue of the reference's input buffers
+    (reference: submission.ts:444-462; bigIntsToBufferLE layout,
+    src/reference/webgpu/utils.ts:90-103)."""
+    if isinstance(points, np.ndarray) and points.dtype == np.uint32:
+        coords = points
+    else:
+        xs = [p[0] for p in points]
+        ys = [p[1] for p in points]
+        coords = np.stack([L.ints_to_u32_words(xs), L.ints_to_u32_words(ys)], axis=1)
+    if isinstance(scalars, np.ndarray) and scalars.dtype == np.uint32:
+        sc = scalars
+    else:
+        sc = L.ints_to_u32_words(list(scalars))
+    return coords, sc
+
+
+def compute_msm(
+    points: Sequence[tuple[int, int]] | np.ndarray,
+    scalars: Sequence[int] | np.ndarray,
+    log_result: bool = False,
+    chunk_size: int | None = None,
+    bpr_chunks: int = 256,
+) -> dict[str, int]:
+    """End-to-end MSM: returns the affine result {x, y} as python ints.
+
+    API parity with the reference entry point
+    `compute_msm(baseAffinePoints, scalars) -> {x, y}`
+    (reference: submission.ts:73-78).
+    """
+    coords, sc = prepare_inputs(points, scalars)
+    n = coords.shape[0]
+    cfg = default_msm_config(n) if chunk_size is None else MsmConfig(chunk_size=chunk_size)
+    fn = _jitted_pipeline(cfg.chunk_size, bpr_chunks)
+    sums = fn(jnp.asarray(coords), jnp.asarray(sc))
+    sums = jax.tree_util.tree_map(lambda a: np.asarray(a), sums)
+    pts = window_sums_to_extpoints(sums)
+    total = horner(pts, cfg.chunk_size)
+    x, y = total.to_affine()
+    if log_result:
+        print({"x": x, "y": y})
+    return {"x": x, "y": y}

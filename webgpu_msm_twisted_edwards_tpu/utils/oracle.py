@@ -1,0 +1,89 @@
+"""ctypes bindings for the native C++ oracle (cpp/liboracle.so).
+
+Role parity with the reference's WASM oracle wrappers
+(reference: src/reference/utils/wasmFunctions.ts:5-178 and
+src/workers/wasmMSM.ts) — a fast, trusted CPU MSM used as ground truth for
+large random inputs.  Build with `make -C cpp`.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from functools import lru_cache
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "..", "cpp", "liboracle.so")
+
+
+def available() -> bool:
+    return os.path.exists(_LIB_PATH)
+
+
+@lru_cache(maxsize=None)
+def _lib() -> ctypes.CDLL:
+    lib = ctypes.CDLL(os.path.abspath(_LIB_PATH))
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.oracle_msm.argtypes = [u64p, u64p, ctypes.c_size_t, ctypes.c_int, u64p]
+    lib.oracle_msm.restype = None
+    lib.oracle_fp_mul.argtypes = [u64p, u64p, u64p]
+    lib.oracle_fp_mul.restype = None
+    lib.oracle_point_add.argtypes = [u64p, u64p, u64p]
+    lib.oracle_point_add.restype = None
+    return lib
+
+
+def _int_to_u64x4(v: int) -> np.ndarray:
+    return np.array([(v >> (64 * i)) & 0xFFFFFFFFFFFFFFFF for i in range(4)], dtype=np.uint64)
+
+
+def _u64x4_to_int(a: np.ndarray) -> int:
+    v = 0
+    for i in range(3, -1, -1):
+        v = (v << 64) | int(a[i])
+    return v
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def fp_mul(a: int, b: int) -> int:
+    out = np.zeros(4, dtype=np.uint64)
+    _lib().oracle_fp_mul(_ptr(_int_to_u64x4(a)), _ptr(_int_to_u64x4(b)), _ptr(out))
+    return _u64x4_to_int(out)
+
+
+def point_add(p1: tuple[int, int], p2: tuple[int, int]) -> tuple[int, int]:
+    a = np.concatenate([_int_to_u64x4(p1[0]), _int_to_u64x4(p1[1])])
+    b = np.concatenate([_int_to_u64x4(p2[0]), _int_to_u64x4(p2[1])])
+    out = np.zeros(8, dtype=np.uint64)
+    _lib().oracle_point_add(_ptr(a), _ptr(b), _ptr(out))
+    return _u64x4_to_int(out[:4]), _u64x4_to_int(out[4:])
+
+
+def msm(points: list[tuple[int, int]] | np.ndarray, scalars: list[int] | np.ndarray, c: int = 16) -> tuple[int, int]:
+    """Affine MSM result via the native serial Pippenger implementation.
+
+    `points` may be a list of (x, y) ints or an [n, 8] uint64 array;
+    `scalars` a list of ints or an [n, 4] uint64 array.
+    """
+    if isinstance(points, np.ndarray):
+        pbuf = np.ascontiguousarray(points, dtype=np.uint64).reshape(-1)
+        n = points.shape[0]
+    else:
+        n = len(points)
+        pbuf = np.empty(n * 8, dtype=np.uint64)
+        for i, (x, y) in enumerate(points):
+            pbuf[i * 8 : i * 8 + 4] = _int_to_u64x4(x)
+            pbuf[i * 8 + 4 : i * 8 + 8] = _int_to_u64x4(y)
+    if isinstance(scalars, np.ndarray):
+        sbuf = np.ascontiguousarray(scalars, dtype=np.uint64).reshape(-1)
+    else:
+        sbuf = np.empty(n * 4, dtype=np.uint64)
+        for i, s in enumerate(scalars):
+            sbuf[i * 4 : i * 4 + 4] = _int_to_u64x4(s)
+    out = np.zeros(8, dtype=np.uint64)
+    _lib().oracle_msm(_ptr(pbuf), _ptr(sbuf), n, c, _ptr(out))
+    return _u64x4_to_int(out[:4]), _u64x4_to_int(out[4:])
