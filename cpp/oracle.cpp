@@ -36,8 +36,6 @@ struct Fp {
 
 static const u64 P_LIMBS[4] = {0x0a11800000000001ULL, 0x59aa76fed0000001ULL,
                                0x60b44d1e5c37b001ULL, 0x12ab655e9a2ca556ULL};
-// -p^{-1} mod 2^64
-static const u64 P_INV_NEG = 0xa117fffffffffffULL * 0 + 0;  // computed at init
 // R^2 mod p (computed at init)
 static u64 R2_LIMBS[4];
 static u64 PINV;  // -p^{-1} mod 2^64
@@ -409,6 +407,78 @@ void oracle_msm(const u64 *points, const u64 *scalars, std::size_t n, int c,
   fp_mul(ay, r.y, zinv);
   fp_to_raw(out, ax);
   fp_to_raw(out + 4, ay);
+}
+
+// Deterministic fixture generation: an additive walk P_i = S + i*D from two
+// seed-derived multiples of the generator, normalized to affine with one
+// batched (Montgomery-trick) inversion.  Role parity with the reference's
+// fixture generator (reference: src/ui/AllBenchmarks.tsx:103-139 random-input
+// path + test-data saver), fast enough for n = 2^20.
+// out: n * 2 * 4 u64 affine (x, y).
+void oracle_gen_points(std::size_t n, u64 seed, u64 *out) {
+  // Generator of the prime-order subgroup (params.py GENERATOR_X/Y).
+  static const u64 GX[4] = {0x137e82844bbe49c5ULL, 0xe7608833a9dd83f3ULL,
+                            0x16b294b80d905006ULL, 0x036824eb02475007ULL};
+  static const u64 GY[4] = {0xd50dce7d8bcda9d4ULL, 0x7f6758f4c08bc255ULL,
+                            0x37c0a81e810abce5ULL, 0x11b1d8d5c1d897a3ULL};
+  Pt g;
+  fp_from_raw(g.x, GX);
+  fp_from_raw(g.y, GY);
+  fp_mul(g.t, g.x, g.y);
+  g.z = FP_ONE_MONT;
+
+  u64 k1[4] = {seed * 6364136223846793005ULL + 1442695040888963407ULL, seed ^ 0x9e3779b97f4a7c15ULL,
+               seed + 0x2545f4914f6cdd1dULL, 0};
+  u64 k2[4] = {seed * 2862933555777941757ULL + 3037000493ULL, ~seed, seed ^ 0xdeadbeefcafebabeULL, 0};
+  Pt start, delta;
+  pt_scalar_mul(start, g, k1);
+  pt_scalar_mul(delta, g, k2);
+
+  std::vector<Pt> pts(n);
+  Pt cur = start;
+  for (std::size_t i = 0; i < n; ++i) {
+    pts[i] = cur;
+    Pt t;
+    pt_add(t, cur, delta);
+    cur = t;
+  }
+  // Batch inversion of all z's.
+  std::vector<Fp> prefix(n);
+  Fp acc = FP_ONE_MONT;
+  for (std::size_t i = 0; i < n; ++i) {
+    prefix[i] = acc;
+    Fp t;
+    fp_mul(t, acc, pts[i].z);
+    acc = t;
+  }
+  // acc^-1 via Fermat.
+  u64 e[4];
+  u64 two[4] = {2, 0, 0, 0};
+  sub256(e, P_LIMBS, two);
+  Fp inv = FP_ONE_MONT, base = acc;
+  for (int limb = 0; limb < 4; ++limb)
+    for (int b = 0; b < 64; ++b) {
+      if ((e[limb] >> b) & 1) {
+        Fp t;
+        fp_mul(t, inv, base);
+        inv = t;
+      }
+      Fp t2;
+      fp_mul(t2, base, base);
+      base = t2;
+    }
+  for (std::size_t i = n; i-- > 0;) {
+    Fp zinv;
+    fp_mul(zinv, inv, prefix[i]);
+    Fp t;
+    fp_mul(t, inv, pts[i].z);
+    inv = t;
+    Fp ax, ay;
+    fp_mul(ax, pts[i].x, zinv);
+    fp_mul(ay, pts[i].y, zinv);
+    fp_to_raw(out + i * 8, ax);
+    fp_to_raw(out + i * 8 + 4, ay);
+  }
 }
 
 // Field self-test helpers (for binding-level unit tests).

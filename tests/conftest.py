@@ -4,10 +4,18 @@ mirrors under jest with no GPU; reference: jest.config.ts, SURVEY.md §4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The ambient environment pins JAX_PLATFORMS to the TPU tunnel ("axon") and a
+# sitecustomize hook registers that backend at interpreter start, so the env
+# var alone is not enough — update the jax config directly before any backend
+# is initialized.  Tests always run on an 8-device virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import random
 from functools import lru_cache

@@ -73,16 +73,18 @@ def geq(a: jnp.ndarray, b: jnp.ndarray, params: FieldParams = PARAMS) -> jnp.nda
 def _carry_sweep(s: jnp.ndarray, params: FieldParams) -> jnp.ndarray:
     """Propagate carries so that every limb < 2^w.  Input limbs may hold up to
     32-bit values (the analogue of the reference's final carry loop,
-    mont_pro_product.template.wgsl:36-41)."""
+    mont_pro_product.template.wgsl:36-41).  Rolled as a `lax.scan` over limbs
+    to keep the traced graph small (XLA compile time is the TPU analogue of
+    shader-compile time; see SURVEY.md §7 risk 5)."""
     w = params.word_size
     mask = U32(params.mask)
-    out = []
-    c = jnp.zeros(s.shape[:-1], dtype=U32)
-    for i in range(params.num_words):
-        v = s[..., i] + c
-        c = v >> w
-        out.append(v & mask)
-    return jnp.stack(out, axis=-1)
+
+    def step(c, si):
+        v = si + c
+        return v >> w, v & mask
+
+    _, out = jax.lax.scan(step, jnp.zeros(s.shape[:-1], dtype=U32), jnp.moveaxis(s, -1, 0))
+    return jnp.moveaxis(out, 0, -1)
 
 
 def _sub_limbs(a: jnp.ndarray, b: jnp.ndarray, params: FieldParams) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -91,13 +93,19 @@ def _sub_limbs(a: jnp.ndarray, b: jnp.ndarray, params: FieldParams) -> tuple[jnp
     w = params.word_size
     mask = U32(params.mask)
     two_w = U32(1 << w)
-    out = []
-    borrow = jnp.zeros(a.shape[:-1], dtype=U32)
-    for i in range(params.num_words):
-        d = a[..., i] + two_w - b[..., i] - borrow
-        out.append(d & mask)
-        borrow = U32(1) - (d >> w)
-    return jnp.stack(out, axis=-1), borrow
+
+    def step(borrow, ab):
+        ai, bi = ab
+        d = ai + two_w - bi - borrow
+        return U32(1) - (d >> w), d & mask
+
+    a, b = jnp.broadcast_arrays(a, b)
+    borrow, out = jax.lax.scan(
+        step,
+        jnp.zeros(a.shape[:-1], dtype=U32),
+        (jnp.moveaxis(a, -1, 0), jnp.moveaxis(b, -1, 0)),
+    )
+    return jnp.moveaxis(out, 0, -1), borrow
 
 
 def _add_limbs(a: jnp.ndarray, b: jnp.ndarray, params: FieldParams) -> jnp.ndarray:
@@ -155,16 +163,20 @@ def mont_mul(x: jnp.ndarray, y: jnp.ndarray, params: FieldParams = PARAMS) -> jn
     pv = p_limbs(params)
 
     bshape = jnp.broadcast_shapes(x.shape[:-1], y.shape[:-1])
-    s = jnp.zeros((*bshape, params.num_words), dtype=U32)
+    x = jnp.broadcast_to(x, (*bshape, params.num_words))
+    y = jnp.broadcast_to(y, (*bshape, params.num_words))
+    s0 = jnp.zeros((*bshape, params.num_words), dtype=U32)
     zcol = jnp.zeros((*bshape, 1), dtype=U32)
-    for i in range(params.num_words):
-        xi = x[..., i]
+
+    def step(s, xi):
         t = s[..., 0] + xi * y[..., 0]
         qi = (n0 * (t & mask)) & mask
         u = s + xi[..., None] * y + qi[..., None] * pv
         c = u[..., 0] >> w
         head = (u[..., 1] + c)[..., None]
-        s = jnp.concatenate([head, u[..., 2:], zcol], axis=-1)
+        return jnp.concatenate([head, u[..., 2:], zcol], axis=-1), None
+
+    s, _ = jax.lax.scan(step, s0, jnp.moveaxis(x, -1, 0))
     s = _carry_sweep(s, params)
     return cond_sub_p(s, params)
 

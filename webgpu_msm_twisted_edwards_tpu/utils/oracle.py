@@ -31,7 +31,27 @@ def _lib() -> ctypes.CDLL:
     lib.oracle_fp_mul.restype = None
     lib.oracle_point_add.argtypes = [u64p, u64p, u64p]
     lib.oracle_point_add.restype = None
+    lib.oracle_gen_points.argtypes = [ctypes.c_size_t, ctypes.c_uint64, u64p]
+    lib.oracle_gen_points.restype = None
     return lib
+
+
+def gen_points(n: int, seed: int = 1) -> np.ndarray:
+    """Generate n deterministic affine curve points as an [n, 8] uint64 array
+    (x limbs 0..3, y limbs 4..7) via a native additive walk + batch inversion.
+    Fast enough for n = 2^20 fixtures."""
+    out = np.zeros((n, 8), dtype=np.uint64)
+    _lib().oracle_gen_points(n, seed, _ptr(out))
+    return out
+
+
+def points_u64_to_ints(arr: np.ndarray) -> list[tuple[int, int]]:
+    out = []
+    for row in arr:
+        x = _u64x4_to_int(row[:4])
+        y = _u64x4_to_int(row[4:])
+        out.append((x, y))
+    return out
 
 
 def _int_to_u64x4(v: int) -> np.ndarray:
