@@ -1,0 +1,34 @@
+"""End-to-end test of the production Pallas pipeline on real TPU hardware.
+
+Skipped on CPU (the kernels only compile for TPU; interpreter-mode coverage
+lives in test_pallas_kernels.py).  Run directly with:
+    JAX_PLATFORMS='' python -m pytest tests/test_pallas_tpu.py -x -q
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+requires_tpu = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="needs TPU hardware"
+)
+
+
+@requires_tpu
+def test_pallas_msm_matches_oracle():
+    from webgpu_msm_twisted_edwards_tpu.models import cuzk
+    from webgpu_msm_twisted_edwards_tpu.utils import oracle
+
+    if not oracle.available():
+        pytest.skip("liboracle.so not built")
+    n = 4096
+    pts_u64 = oracle.gen_points(n, seed=11)
+    rng = np.random.default_rng(5)
+    sc_u64 = rng.integers(0, 1 << 62, size=(n, 4), dtype=np.uint64)
+    sc_u64[:, 3] &= (1 << 58) - 1
+    coords = pts_u64.view(np.uint32).reshape(n, 2, 8)
+    scalars = sc_u64.view(np.uint32).reshape(n, 8)
+    res = cuzk.compute_msm(coords, scalars, chunk_size=16, use_pallas=True)
+    want = oracle.msm(pts_u64, sc_u64, c=16)
+    assert (res["x"], res["y"]) == want

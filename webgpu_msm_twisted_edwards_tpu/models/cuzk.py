@@ -112,26 +112,77 @@ def prepare_inputs(
     return coords, sc
 
 
+def packed_rows_to_extpoints(rows: np.ndarray) -> list[ExtPoint]:
+    """[W, TW] packed (x,y,t,z) rows -> python-int extended points
+    (un-Montgomery on host; reference: submission.ts:363-393)."""
+    from ..ops.pallas.common import LP, W as WBITS
+
+    params = PARAMS
+    out = []
+    for r in rows:
+        coords = []
+        for ci in range(4):
+            pk = r[ci * LP:(ci + 1) * LP]
+            v = 0
+            for i, u in enumerate(pk):
+                v |= (int(u) & 0xFFFF) << (2 * i * WBITS)
+                v |= (int(u) >> 16) << ((2 * i + 1) * WBITS)
+            coords.append(params.from_mont(v % params.p))
+        out.append(ExtPoint(*coords))
+    return out
+
+
+@lru_cache(maxsize=None)
+def _jitted_pallas_pipeline(chunk_size: int, n: int, interpret: bool | None):
+    from ..ops import msm_pipeline as MP
+
+    cfg = MsmConfig(chunk_size=chunk_size)
+    fn = partial(MP.msm_window_sums, cfg=cfg, interpret=interpret)
+    return jax.jit(fn)
+
+
 def compute_msm(
     points: Sequence[tuple[int, int]] | np.ndarray,
     scalars: Sequence[int] | np.ndarray,
     log_result: bool = False,
     chunk_size: int | None = None,
     bpr_chunks: int = 256,
+    use_pallas: bool | None = None,
+    interpret: bool | None = None,
 ) -> dict[str, int]:
     """End-to-end MSM: returns the affine result {x, y} as python ints.
 
     API parity with the reference entry point
     `compute_msm(baseAffinePoints, scalars) -> {x, y}`
     (reference: submission.ts:73-78).
+
+    Two device paths:
+    - the production Pallas pipeline (sorted segmented-scan; ops/msm_pipeline)
+      for c=16 and n >= 512 — used automatically on TPU;
+    - the pure-XLA reference pipeline (kept as the correctness mirror and the
+      small-input / c=4 path).
     """
     coords, sc = prepare_inputs(points, scalars)
     n = coords.shape[0]
     cfg = default_msm_config(n) if chunk_size is None else MsmConfig(chunk_size=chunk_size)
-    fn = _jitted_pipeline(cfg.chunk_size, bpr_chunks)
-    sums = fn(jnp.asarray(coords), jnp.asarray(sc))
-    sums = jax.tree_util.tree_map(lambda a: np.asarray(a), sums)
-    pts = window_sums_to_extpoints(sums)
+    if use_pallas is None:
+        use_pallas = cfg.chunk_size == 16 and n >= 512
+    if use_pallas:
+        # Pad to a multiple of 4096 (>= 4096) with zero scalars: zero digits
+        # sort to the sentinel tail and contribute nothing.
+        target = max(4096, -(-n // 4096) * 4096)
+        if target != n:
+            pad = target - n
+            coords = np.concatenate([coords, np.tile(coords[:1], (pad, 1, 1))], axis=0)
+            sc = np.concatenate([sc, np.zeros((pad, 8), dtype=np.uint32)], axis=0)
+        fn = _jitted_pallas_pipeline(cfg.chunk_size, target, interpret)
+        rows = np.asarray(fn(jnp.asarray(coords), jnp.asarray(sc)))
+        pts = packed_rows_to_extpoints(rows)
+    else:
+        fn = _jitted_pipeline(cfg.chunk_size, bpr_chunks)
+        sums = fn(jnp.asarray(coords), jnp.asarray(sc))
+        sums = jax.tree_util.tree_map(lambda a: np.asarray(a), sums)
+        pts = window_sums_to_extpoints(sums)
     total = horner(pts, cfg.chunk_size)
     x, y = total.to_affine()
     if log_result:

@@ -1,0 +1,185 @@
+"""Production MSM device pipeline (Pallas path).
+
+End-to-end re-design of the reference cuZK orchestrator
+(reference: src/submission/submission.ts:73-412) for TPU:
+
+    1. convert+decompose (XLA)      — build the Montgomery point table
+                                      [n, TW] (x, y, t, d*t packed 2 limbs per
+                                      u32) and signed window digits.
+    2. sort (XLA lax.sort)          — per window, order (bucket, point, sign);
+                                      replaces the atomics CSR transpose
+                                      (reference: transpose.wgsl:34-74).
+    3. gather (XLA)                 — one row gather of table rows into sorted
+                                      order (the only large data movement).
+    4. segmented scan (Pallas)      — bucket sums via fragment scans; exactly
+                                      W*n mixed adds (reference SMVP analogue:
+                                      smvp.template.wgsl:60-149).
+    5. carry scan + extraction      — stitch buckets spanning fragments, pull
+                                      per-bucket sums at segment ends.
+    6. BPR (Pallas)                 — running-sum reduction to window sums
+                                      (reference: bpr.template.wgsl).
+    7. host                         — un-Montgomery, Horner over windows
+                                      (reference: submission.ts:363-412).
+
+Data stays on device between stages; only the [W] window sums are read back.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..utils.params import PARAMS, MsmConfig
+from . import convert as CV
+from . import field as F
+from .pallas import bpr as PB
+from .pallas import scan as PS
+from .pallas.common import LP, int_to_limbs, make_consts_array
+from .pallas.ec import masked_add_rows
+
+L = PARAMS.num_words
+TW = PS.TW
+K = PS.K
+
+
+def identity_row_np() -> np.ndarray:
+    """Packed (0, R, 0, R) identity row of width TW."""
+    r = int_to_limbs(PARAMS.r)
+    packed_r = r[0::2] | (r[1::2].astype(np.uint32) << 16)
+    row = np.zeros(TW, dtype=np.uint32)
+    row[LP:2 * LP] = packed_r          # y = R
+    row[3 * LP:4 * LP] = packed_r      # z = R
+    return row
+
+
+def pack_cols(a: jnp.ndarray) -> jnp.ndarray:
+    """[n, L] limb-last -> [n, LP] packed 2-per-u32."""
+    return a[:, 0::2] | (a[:, 1::2] << 16)
+
+
+def build_table(coords_u32: jnp.ndarray) -> jnp.ndarray:
+    """[n, 2, 8] affine coordinate words -> [n, TW] packed Montgomery table
+    rows (x, y, t=x*y, td=d*t), the analogue of the reference's converted
+    point buffers (reference: convert_point_coords_and_decompose_scalars
+    .template.wgsl:39-77 — which enters Montgomery form via Barrett; here via
+    mont_mul with R^2)."""
+    x = CV.u32_words_to_limbs(coords_u32[:, 0, :], PARAMS)
+    y = CV.u32_words_to_limbs(coords_u32[:, 1, :], PARAMS)
+    xm = F.to_mont(x, PARAMS)
+    ym = F.to_mont(y, PARAMS)
+    tm = F.mont_mul(xm, ym, PARAMS)
+    d = jnp.asarray(int_to_limbs(PARAMS.edwards_d_mont))
+    tdm = F.mont_mul(tm, jnp.broadcast_to(d, tm.shape), PARAMS)
+    n = coords_u32.shape[0]
+    pad = jnp.zeros((n, TW - 4 * LP), dtype=jnp.uint32)
+    return jnp.concatenate(
+        [pack_cols(xm), pack_cols(ym), pack_cols(tm), pack_cols(tdm), pad], axis=1
+    )
+
+
+def window_group_bucket_sums(
+    table: jnp.ndarray,
+    digits_g: jnp.ndarray,
+    nb: int,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """digits_g: [Wg, n] signed window digits for one group of windows.
+    Returns packed bucket sums [Wg * nb, TW] (bucket key b holds the sum of
+    points with |digit| == b+1, sign applied)."""
+    wg, n = digits_g.shape
+    d = digits_g
+    sign_neg = d < 0
+    keys = jnp.where(d == 0, jnp.int32(nb), jnp.abs(d) - 1)          # [Wg, n]
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], keys.shape)
+    idxs = jnp.where(sign_neg, idx | np.int32(-2147483648), idx)
+    keys_s, idxs_s = lax.sort((keys, idxs), dimension=1, num_keys=1)
+
+    # Bucket start offsets / counts (the CSC col_ptr analogue).
+    queries = jnp.arange(nb + 1, dtype=jnp.int32)
+    offsets = jax.vmap(lambda row: jnp.searchsorted(row, queries, side="left"))(keys_s)
+    starts = offsets[:, :nb]
+    counts = offsets[:, 1:] - offsets[:, :nb]
+
+    pidx = idxs_s & np.int32(0x7FFFFFFF)
+    sgn = (idxs_s < 0).astype(jnp.int32)
+
+    # One bulk gather into sorted order.
+    rows = table[pidx.reshape(-1)]                                   # [Wg*n, TW]
+    nf = (wg * n) // K
+    rows = rows.reshape(nf, K, TW)
+    keys_flat = keys_s.reshape(nf, K)
+    keys_t = keys_flat.T                                             # [K, NF]
+    sgn_t = sgn.reshape(nf, K).T
+
+    t_scan = PS.msm_scan(rows, keys_t, sgn_t, interpret=interpret)   # [NF, K, TW]
+
+    # Cross-fragment carries.  Global keys make runs never span windows.
+    wofs = (jnp.arange(wg, dtype=jnp.int32) * (nb + 2))[:, None]
+    gkeys = keys_s + wofs
+    gk_frag = gkeys.reshape(nf, K)
+    fk = gk_frag[:, 0]
+    lk = gk_frag[:, -1]
+    fk_next = jnp.concatenate([fk[1:], jnp.full((1,), -7, jnp.int32)])
+    cont = (lk == fk_next).astype(jnp.int32)
+    single = (fk == lk).astype(jnp.int32)
+    a = cont * single
+    sfx = t_scan[:, K - 1, :]                                        # [NF, TW]
+    ident = jnp.asarray(identity_row_np())
+    b = jnp.where((cont != 0)[:, None], sfx, ident[None, :])
+    carries = PS.seg_carry_scan(a, b, interpret=interpret)           # [NF, TW]
+
+    # Extraction at segment ends.
+    ends = starts + counts - 1                                       # [Wg, NB]
+    ends_c = jnp.clip(ends, 0, n - 1)
+    flat_end = (jnp.arange(wg, dtype=jnp.int32)[:, None] * n + ends_c).reshape(-1)
+    t2d = t_scan.reshape(wg * n, TW)
+    tval = t2d[flat_end]                                             # [Wg*NB, TW]
+
+    frag = ends_c // K                                               # fragment within window? -> global
+    gfrag = (jnp.arange(wg, dtype=jnp.int32)[:, None] * (n // K) + frag).reshape(-1)
+    cval = carries[gfrag]                                            # [Wg*NB, TW]
+    fragstart_key = jnp.take_along_axis(keys_s, (ends_c // K) * K, axis=1)  # [Wg, NB]
+    bucket_ids = jnp.broadcast_to(jnp.arange(nb, dtype=jnp.int32)[None], (wg, nb))
+    mask_c = ((fragstart_key == bucket_ids) & (counts > 0)).reshape(-1).astype(jnp.int32)
+
+    buckets = masked_add_rows(tval, cval, mask_c, interpret=interpret)
+    nonzero = (counts > 0).reshape(-1)
+    buckets = jnp.where(nonzero[:, None], buckets, ident[None, :])
+    return buckets                                                   # [Wg*NB, TW]
+
+
+def msm_window_sums(
+    coords_u32: jnp.ndarray,
+    scalars_u32: jnp.ndarray,
+    cfg: MsmConfig,
+    window_group: int = 0,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Full device pipeline: [n,2,8], [n,8] -> [W, TW] packed window sums.
+
+    window_group = 0 chooses a memory-bounded default (all 16 windows at once
+    up to n=2^18, 8 at 2^19, 4 at 2^20+)."""
+    n = coords_u32.shape[0]
+    w = cfg.num_windows
+    nb = cfg.num_buckets
+    if window_group == 0:
+        window_group = w if n <= (1 << 18) else (8 if n <= (1 << 19) else 4)
+    assert w % window_group == 0
+    groups = w // window_group
+
+    table = build_table(coords_u32)
+    digits = CV.decompose_scalars_signed(scalars_u32, cfg)           # [n, W]
+    digits_t = digits.T.reshape(groups, window_group, n)
+
+    fn = partial(window_group_bucket_sums, table, nb=nb, interpret=interpret)
+    if groups == 1:
+        buckets = fn(digits_t[0])
+    else:
+        buckets = lax.map(fn, digits_t).reshape(groups * window_group * nb, TW)
+    buckets = buckets.reshape(w * nb, TW)
+
+    return PB.bpr(buckets, w, interpret=interpret)                   # [W, TW]

@@ -1,0 +1,222 @@
+"""Bucket accumulation as a chunked segmented scan — the production SMVP.
+
+The reference accumulates buckets with one GPU thread per bucket gathering its
+points (reference: src/submission/implementation/wgsl/cuzk/smvp.template.wgsl:
+60-149, fed by the atomics-based CSR transpose in transpose.wgsl:34-74).  On
+TPU both stages are re-designed as:
+
+    sort entries by bucket  ->  fragment the sorted order into runs of K
+    ->  one VPU lane per fragment scans its K entries sequentially
+    ->  a tiny hierarchical carry scan stitches buckets spanning fragments.
+
+Total EC-add work is exactly `num_windows * n` mixed adds (the information-
+theoretic minimum for bucket accumulation), independent of the bucket-size
+distribution — unlike thread-per-bucket schemes, load imbalance costs nothing.
+
+Memory layout: each scan step reads a [LBLK, TW] tile of gathered table rows
+and transposes it in-VMEM to the [limb, lane] compute layout; the transposes
+ride the permute unit and are free next to the 8-product EC add.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from .common import L, LP, load_consts, make_consts_array, pack2, unpack2, fr_neg
+from .ec import Pt, full_add, madd, pt_identity, pt_pack, pt_select, pt_unpack
+
+#: Entries per fragment (scan depth) and fragment-lanes per kernel block.
+K = 64
+LBLK = 128
+
+#: Table/accumulator row width in u32 (packed x,y,t,td / x,y,t,z + padding).
+TW = 64
+
+
+def _interpret_default(interpret):
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
+# ---------------------------------------------------------------------------
+# Main scan kernel.
+
+
+def _msm_scan_kernel(lblk, consts_ref, rows_ref, keys_ref, sgn_ref, out_ref):
+    """rows_ref: [lblk, K, TW] gathered table rows (x,y,t,td packed-2);
+    keys_ref/sgn_ref: [K, lblk] bucket keys / negation flags;
+    out_ref: [lblk, K, TW] inclusive in-fragment scan values (x,y,t,z packed).
+    """
+    c = load_consts(consts_ref)
+    zero = jnp.zeros((L, lblk), jnp.uint32)
+    acc0 = Pt(zero, jnp.broadcast_to(c.r, (L, lblk)), zero, jnp.broadcast_to(c.r, (L, lblk)))
+    key0 = jnp.full((1, lblk), -1, jnp.int32)
+    pad = jnp.zeros((TW - 4 * LP, lblk), jnp.uint32)
+
+    def body(j, state):
+        acc, kprev = state
+        slab = jnp.transpose(rows_ref[:, j, :])          # [TW, LBLK]
+        x2 = unpack2(slab[0 * LP:1 * LP])
+        y2 = unpack2(slab[1 * LP:2 * LP])
+        t2 = unpack2(slab[2 * LP:3 * LP])
+        td2 = unpack2(slab[3 * LP:4 * LP])
+        neg = sgn_ref[pl.ds(j, 1), :] != 0                    # [1, LBLK]
+        x2 = jnp.where(neg, fr_neg(x2, c.p), x2)
+        t2 = jnp.where(neg, fr_neg(t2, c.p), t2)
+        td2 = jnp.where(neg, fr_neg(td2, c.p), td2)
+
+        kj = keys_ref[pl.ds(j, 1), :]                         # [1, lblk]
+        same = kj == kprev
+        added = madd(acc, x2, y2, td2, c)
+        fresh = Pt(x2, y2, t2, jnp.broadcast_to(c.r, x2.shape))
+        acc = pt_select(same, added, fresh)
+
+        packed = jnp.concatenate([pt_pack(acc), pad], axis=0)   # [TW, LBLK]
+        out_ref[:, j, :] = jnp.transpose(packed)
+        return acc, kj
+
+    jax.lax.fori_loop(0, K, body, (acc0, key0))
+
+
+def msm_scan(rows: jnp.ndarray, keys_t: jnp.ndarray, sgn_t: jnp.ndarray,
+             interpret: bool | None = None) -> jnp.ndarray:
+    """rows: [NF, K, TW]; keys_t, sgn_t: [K, NF].  Returns T: [NF, K, TW]."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nf = rows.shape[0]
+    lblk = LBLK
+    while nf % lblk != 0:
+        lblk //= 2
+    grid = (nf // lblk,)
+    consts = jnp.asarray(make_consts_array())
+    return pl.pallas_call(
+        partial(_msm_scan_kernel, lblk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((L, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lblk, K, TW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, lblk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, lblk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((lblk, K, TW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nf, K, TW), jnp.uint32),
+        interpret=_interpret_default(interpret),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(consts, rows, keys_t, sgn_t)
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical carry scan: C_{f+1} = a_f * C_f + b_f  (exclusive, C_0 = id).
+
+
+def _ab_scan_kernel(kab: int, lblk: int, consts_ref, a_ref, b_ref, c_ref, apre_ref,
+                    aagg_ref, bagg_ref):
+    """a_ref: [kab, lblk] int32; b_ref: [lblk, kab, TW] packed points.
+    Outputs: c_ref [lblk, kab, TW] exclusive scan (carry-in = identity);
+    apre_ref [kab, lblk] exclusive prefix-AND of a; aagg_ref [1, lblk];
+    bagg_ref [lblk, TW]."""
+    c = load_consts(consts_ref)
+    ident = pt_identity((L, lblk), c)
+    pad = jnp.zeros((TW - 4 * LP, lblk), jnp.uint32)
+
+    def body(j, state):
+        acc, apre = state
+        # Store exclusive values first.
+        packed = jnp.concatenate([pt_pack(acc), pad], axis=0)
+        c_ref[:, j, :] = jnp.transpose(packed)
+        apre_ref[pl.ds(j, 1), :] = apre
+        aj = a_ref[pl.ds(j, 1), :] != 0
+        bj = pt_unpack(jnp.transpose(b_ref[:, j, :]))
+        kept = pt_select(aj, acc, ident)
+        acc = full_add(kept, bj, c)
+        apre = jnp.where(aj, apre, jnp.zeros_like(apre))
+        return acc, apre
+
+    acc, apre = jax.lax.fori_loop(
+        0, kab, body, (ident, jnp.ones((1, lblk), jnp.int32))
+    )
+    aagg_ref[:, :] = apre
+    bagg_ref[:, :] = jnp.transpose(jnp.concatenate([pt_pack(acc), pad], axis=0))
+
+
+def ab_scan_level(a: jnp.ndarray, b: jnp.ndarray, kab: int,
+                  interpret: bool | None = None):
+    """One level: a [N] int32, b [N, TW] packed.  N must be divisible by kab.
+    Returns (c_local [N, TW], apre [N], a_agg [N//kab], b_agg [N//kab, TW])."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = a.shape[0]
+    nc = n // kab
+    assert nc * kab == n
+    lblk = min(LBLK, nc)
+    assert nc % lblk == 0
+    grid = (nc // lblk,)
+    consts = jnp.asarray(make_consts_array())
+    # Reshape to chunk-major layouts.
+    a2 = a.reshape(nc, kab).T                      # [kab, nc]
+    b3 = b.reshape(nc, kab, TW)
+
+    kern = partial(_ab_scan_kernel, kab, lblk)
+    c_loc, apre, a_agg, b_agg = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((L, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kab, lblk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lblk, kab, TW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((lblk, kab, TW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kab, lblk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lblk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lblk, TW), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nc, kab, TW), jnp.uint32),
+            jax.ShapeDtypeStruct((kab, nc), jnp.int32),
+            jax.ShapeDtypeStruct((1, nc), jnp.int32),
+            jax.ShapeDtypeStruct((nc, TW), jnp.uint32),
+        ],
+        interpret=_interpret_default(interpret),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(consts, a2, b3)
+    return (
+        c_loc.reshape(n, TW),
+        apre.T.reshape(n),
+        a_agg.reshape(nc),
+        b_agg,
+    )
+
+
+def seg_carry_scan(a: jnp.ndarray, b: jnp.ndarray, kab: int = K,
+                   interpret: bool | None = None) -> jnp.ndarray:
+    """Full exclusive linear scan C_{f+1} = a_f*C_f + b_f over [N] fragments.
+    a: [N] int32 (0/1), b: [N, TW] packed points.  Returns C [N, TW]."""
+    from .ec import masked_add_rows  # local import to avoid cycle
+
+    n = a.shape[0]
+    if n <= kab:
+        c_loc, _, _, _ = ab_scan_level(a, b, n, interpret=interpret)
+        return c_loc
+    if n % kab != 0:
+        # Pad with reset steps (a=0, b=identity): carries for the padding are
+        # never read.
+        from .common import int_to_limbs
+        from ...utils.params import PARAMS as _P
+
+        pad = kab - n % kab
+        a = jnp.concatenate([a, jnp.zeros((pad,), a.dtype)])
+        b = jnp.concatenate([b, jnp.broadcast_to(b[-1:], (pad, b.shape[1]))])
+        return seg_carry_scan(a, b, kab, interpret=interpret)[:n]
+    c_loc, apre, a_agg, b_agg = ab_scan_level(a, b, kab, interpret=interpret)
+    cin = seg_carry_scan(a_agg, b_agg, kab, interpret=interpret)   # [N//kab, TW]
+    cin_rep = jnp.repeat(cin, kab, axis=0)                          # [N, TW]
+    return masked_add_rows(c_loc, cin_rep, apre, interpret=interpret)
