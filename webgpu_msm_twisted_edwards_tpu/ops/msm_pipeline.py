@@ -37,6 +37,7 @@ from ..utils.params import PARAMS, MsmConfig
 from . import convert as CV
 from . import field as F
 from .pallas import bpr as PB
+from .pallas import convert as PC
 from .pallas import scan as PS
 from .pallas.common import LP, int_to_limbs, make_consts_array
 from .pallas.ec import masked_add_rows
@@ -61,24 +62,11 @@ def pack_cols(a: jnp.ndarray) -> jnp.ndarray:
     return a[:, 0::2] | (a[:, 1::2] << 16)
 
 
-def build_table(coords_u32: jnp.ndarray) -> jnp.ndarray:
+def build_table(coords_u32: jnp.ndarray, interpret: bool | None = None) -> jnp.ndarray:
     """[n, 2, 8] affine coordinate words -> [n, TW] packed Montgomery table
-    rows (x, y, t=x*y, td=d*t), the analogue of the reference's converted
-    point buffers (reference: convert_point_coords_and_decompose_scalars
-    .template.wgsl:39-77 — which enters Montgomery form via Barrett; here via
-    mont_mul with R^2)."""
-    x = CV.u32_words_to_limbs(coords_u32[:, 0, :], PARAMS)
-    y = CV.u32_words_to_limbs(coords_u32[:, 1, :], PARAMS)
-    xm = F.to_mont(x, PARAMS)
-    ym = F.to_mont(y, PARAMS)
-    tm = F.mont_mul(xm, ym, PARAMS)
-    d = jnp.asarray(int_to_limbs(PARAMS.edwards_d_mont))
-    tdm = F.mont_mul(tm, jnp.broadcast_to(d, tm.shape), PARAMS)
-    n = coords_u32.shape[0]
-    pad = jnp.zeros((n, TW - 4 * LP), dtype=jnp.uint32)
-    return jnp.concatenate(
-        [pack_cols(xm), pack_cols(ym), pack_cols(tm), pack_cols(tdm), pad], axis=1
-    )
+    rows (x, y, t=x*y, td=d*t) via the Pallas convert kernel (reference
+    analogue: convert_point_coords_and_decompose_scalars.template.wgsl:39-77)."""
+    return PC.build_table(coords_u32, interpret=interpret)
 
 
 def window_group_bucket_sums(
@@ -171,7 +159,7 @@ def msm_window_sums(
     assert w % window_group == 0
     groups = w // window_group
 
-    table = build_table(coords_u32)
+    table = build_table(coords_u32, interpret=interpret)
     digits = CV.decompose_scalars_signed(scalars_u32, cfg)           # [n, W]
     digits_t = digits.T.reshape(groups, window_group, n)
 

@@ -10,4 +10,4 @@ These kernels are the TPU-native re-design of the reference's WGSL shaders
 different parallel decomposition.
 """
 
-from . import common, ec, scan, bpr  # noqa: F401
+from . import common, convert, ec, scan, bpr  # noqa: F401

@@ -40,17 +40,36 @@ def int_to_limbs(v: int) -> np.ndarray:
 
 
 #: Column indices of each constant inside the consts input array [L, 8].
-CONST_P, CONST_D, CONST_R, CONST_R2 = 0, 1, 2, 3
+CONST_P, CONST_D, CONST_R, CONST_R2, CONST_Q4 = 0, 1, 2, 3, 4
+
+
+def _q4_limbs() -> np.ndarray:
+    """4p in 'headroom' limb form: same value, but every limb except the top
+    is >= 2^w, so q4 - b never borrows limb-wise for normalized b.  Used by
+    the lazy subtraction a - b ≡ a + (4p - b)  (valid for b < 3p; the top
+    limb is checked against that bound)."""
+    v = 4 * PARAMS.p
+    q = [(v >> (i * W)) & ((1 << 32) - 1) if False else (v >> (i * W)) & PARAMS.mask for i in range(L)]
+    for i in range(L - 1):
+        q[i] += 1 << W
+        q[i + 1] -= 1
+    assert all(qi >= PARAMS.mask for qi in q[:-1])
+    # Max top limb of a subtrahend b < 3p:
+    b19_max = (3 * PARAMS.p) >> ((L - 1) * W)
+    assert q[-1] >= b19_max + 1, (q[-1], b19_max)
+    assert sum(qi << (i * W) for i, qi in enumerate(q)) == v
+    return np.array(q, dtype=np.uint32)
 
 
 def make_consts_array() -> np.ndarray:
     """The [L, 8] uint32 constants array passed to every kernel: columns are
-    (p, d*R mod p, R mod p, R^2 mod p, 0...)."""
+    (p, d*R mod p, R mod p, R^2 mod p, q4 headroom form of 4p, 0...)."""
     out = np.zeros((L, 8), dtype=np.uint32)
     out[:, CONST_P] = int_to_limbs(PARAMS.p)
     out[:, CONST_D] = int_to_limbs(PARAMS.edwards_d_mont)
     out[:, CONST_R] = int_to_limbs(PARAMS.r)
     out[:, CONST_R2] = int_to_limbs(PARAMS.r2)
+    out[:, CONST_Q4] = _q4_limbs()
     return out
 
 
@@ -61,6 +80,7 @@ class Consts(NamedTuple):
     d: jnp.ndarray
     r: jnp.ndarray
     r2: jnp.ndarray
+    q4: jnp.ndarray
 
 
 def load_consts(consts_ref) -> Consts:
@@ -70,6 +90,7 @@ def load_consts(consts_ref) -> Consts:
         d=c[:, CONST_D:CONST_D + 1],
         r=c[:, CONST_R:CONST_R + 1],
         r2=c[:, CONST_R2:CONST_R2 + 1],
+        q4=c[:, CONST_Q4:CONST_Q4 + 1],
     )
 
 
@@ -168,7 +189,27 @@ def fr_neg(a: jnp.ndarray, pv: jnp.ndarray) -> jnp.ndarray:
     return diff
 
 
-def mont_mul(x: jnp.ndarray, y: jnp.ndarray, pv: jnp.ndarray) -> jnp.ndarray:
+def fr_add_lazy(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a + b with carry normalization only (no mod-p reduction).  Values may
+    exceed p; all lazy-path values stay < ~9p < 2^256, far inside the 20x13 =
+    260-bit limb capacity (see the bounds analysis in ec.py)."""
+    return carry_sweep(a + b)
+
+
+def fr_sub_lazy(a: jnp.ndarray, b: jnp.ndarray, c: "Consts") -> jnp.ndarray:
+    """a - b + 4p, borrow-free: requires b < 3p (q4's headroom guarantees
+    q4_i >= b_i limb-wise under that bound)."""
+    q4 = jnp.broadcast_to(c.q4, a.shape)
+    return carry_sweep(a + (q4 - b))
+
+
+def fr_neg_lazy(b: jnp.ndarray, c: "Consts") -> jnp.ndarray:
+    """4p - b (≡ -b mod p), borrow-free for b < 3p."""
+    q4 = jnp.broadcast_to(c.q4, b.shape)
+    return carry_sweep(q4 - b)
+
+
+def mont_mul(x: jnp.ndarray, y: jnp.ndarray, pv: jnp.ndarray, reduce: bool = True) -> jnp.ndarray:
     """Montgomery product x*y*R^-1 mod p, carry-free interleaved form.
 
     TPU re-design of the reference's production Montgomery kernel
@@ -187,4 +228,9 @@ def mont_mul(x: jnp.ndarray, y: jnp.ndarray, pv: jnp.ndarray) -> jnp.ndarray:
         u = s + xi * y + qi * pb
         c = u[0:1] >> W
         s = jnp.concatenate([u[1:2] + c, u[2:], zrow], axis=0)
-    return cond_sub_p(carry_sweep(s), pv)
+    s = carry_sweep(s)
+    if not reduce:
+        # Lazy form: output < p + x*y/R — strictly below ~1.3p for all inputs
+        # the EC formulas produce (see ec.py bounds); mod-p only at the end.
+        return s
+    return cond_sub_p(s, pv)

@@ -1,0 +1,80 @@
+"""Point conversion kernel: affine u32 words -> packed Montgomery table rows.
+
+TPU re-design of the reference's convert stage (reference:
+src/submission/implementation/wgsl/cuzk/convert_point_coords_and_decompose_
+scalars.template.wgsl:39-77): per point, re-limb the 8-word coordinates into
+w-bit limbs, enter Montgomery form, and precompute t = x*y and td = d*t.  The
+reference enters Montgomery form with a Barrett multiplication by R; here it
+is mont_mul with R^2 (identical result, no second reduction path needed).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .common import L, LP, MASK, W, load_consts, make_consts_array, mont_mul, pack2
+from .scan import TW, _interpret_default
+
+#: Points per kernel block.
+CBLK = 256
+
+
+def _limbs_from_words(words, num_rows: int):
+    """words: [8, B] u32 LE rows -> [L, B] w-bit limb rows (static shifts)."""
+    rows = []
+    for i in range(L):
+        b = i * W
+        idx = b // 32
+        off = b % 32
+        v = words[idx:idx + 1] >> np.uint32(off)
+        if off + W > 32 and idx + 1 < num_rows:
+            v = v | (words[idx + 1:idx + 2] << np.uint32(32 - off))
+        rows.append(v & MASK)
+    return jnp.concatenate(rows, axis=0)
+
+
+def _convert_kernel(lblk, consts_ref, words_ref, out_ref):
+    """words_ref: [lblk, 16] (x words 0..7, y words 8..15); out_ref [lblk, TW]."""
+    c = load_consts(consts_ref)
+    wds = jnp.transpose(words_ref[:])              # [16, lblk]
+    x = _limbs_from_words(wds[0:8], 8)
+    y = _limbs_from_words(wds[8:16], 8)
+    r2 = jnp.broadcast_to(c.r2, x.shape)
+    xm = mont_mul(x, r2, c.p)
+    ym = mont_mul(y, r2, c.p)
+    tm = mont_mul(xm, ym, c.p)
+    tdm = mont_mul(tm, jnp.broadcast_to(c.d, x.shape), c.p)
+    pad = jnp.zeros((TW - 4 * LP, lblk), jnp.uint32)
+    packed = jnp.concatenate([pack2(xm), pack2(ym), pack2(tm), pack2(tdm), pad], axis=0)
+    out_ref[:, :] = jnp.transpose(packed)
+
+
+def build_table(coords_u32: jnp.ndarray, interpret: bool | None = None) -> jnp.ndarray:
+    """[n, 2, 8] affine coordinate words -> [n, TW] packed Montgomery rows
+    (x, y, t, d*t)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = coords_u32.shape[0]
+    words = coords_u32.reshape(n, 16)
+    lblk = CBLK
+    while n % lblk != 0:
+        lblk //= 2
+    grid = (n // lblk,)
+    consts = jnp.asarray(make_consts_array())
+    return pl.pallas_call(
+        partial(_convert_kernel, lblk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((L, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lblk, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((lblk, TW), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, TW), jnp.uint32),
+        interpret=_interpret_default(interpret),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(consts, words)

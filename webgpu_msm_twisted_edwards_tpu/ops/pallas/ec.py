@@ -29,8 +29,11 @@ from .common import (
     carry_sweep,
     cond_sub_p,
     fr_add,
+    fr_add_lazy,
     fr_neg,
+    fr_neg_lazy,
     fr_sub,
+    fr_sub_lazy,
     load_consts,
     make_consts_array,
     mont_mul,
@@ -82,39 +85,52 @@ def madd(p1: Pt, x2, y2, td2, c: Consts) -> Pt:
     add-2008-hwcd with a = -1: H = B - aA = B + A
     (reference analogue: ec.template.wgsl:34-66, one product saved by the
     precomputed d*t and one by Z2 = R ⇒ D = Z1)."""
+    # Lazy-reduction bounds (all values mod-p-equivalent, < 9.2p < 2^256):
+    # coords in < ~4p; mont outputs < p + uv/R < 1.3p; sums < 2.6p (valid
+    # fr_sub_lazy subtrahends < 3p); differences < minuend + 4p < 9.2p.
     pv = c.p
-    a = mont_mul(p1.x, x2, pv)
-    b = mont_mul(p1.y, y2, pv)
-    cc = mont_mul(p1.t, td2, pv)
+    a = mont_mul(p1.x, x2, pv, reduce=False)
+    b = mont_mul(p1.y, y2, pv, reduce=False)
+    cc = mont_mul(p1.t, td2, pv, reduce=False)
     d = p1.z
-    e = fr_sub(
-        mont_mul(fr_add(p1.x, p1.y, pv), fr_add(x2, y2, pv), pv),
-        fr_add(a, b, pv),
-        pv,
+    e = fr_sub_lazy(
+        mont_mul(fr_add_lazy(p1.x, p1.y), fr_add_lazy(x2, y2), pv, reduce=False),
+        fr_add_lazy(a, b),
+        c,
     )
-    f = fr_sub(d, cc, pv)
-    g = fr_add(d, cc, pv)
-    h = fr_add(b, a, pv)
-    return Pt(mont_mul(e, f, pv), mont_mul(g, h, pv), mont_mul(e, h, pv), mont_mul(f, g, pv))
+    f = fr_sub_lazy(d, cc, c)
+    g = fr_add_lazy(d, cc)
+    h = fr_add_lazy(b, a)
+    return Pt(
+        mont_mul(e, f, pv, reduce=False),
+        mont_mul(g, h, pv, reduce=False),
+        mont_mul(e, h, pv, reduce=False),
+        mont_mul(f, g, pv, reduce=False),
+    )
 
 
 def full_add(p1: Pt, p2: Pt, c: Consts) -> Pt:
     """General unified add, 10 Montgomery products (both Z arbitrary)."""
     pv = c.p
-    a = mont_mul(p1.x, p2.x, pv)
-    b = mont_mul(p1.y, p2.y, pv)
-    t12 = mont_mul(p1.t, p2.t, pv)
-    cc = mont_mul(t12, jnp.broadcast_to(c.d, t12.shape), pv)
-    d = mont_mul(p1.z, p2.z, pv)
-    e = fr_sub(
-        mont_mul(fr_add(p1.x, p1.y, pv), fr_add(p2.x, p2.y, pv), pv),
-        fr_add(a, b, pv),
-        pv,
+    a = mont_mul(p1.x, p2.x, pv, reduce=False)
+    b = mont_mul(p1.y, p2.y, pv, reduce=False)
+    t12 = mont_mul(p1.t, p2.t, pv, reduce=False)
+    cc = mont_mul(t12, jnp.broadcast_to(c.d, t12.shape), pv, reduce=False)
+    d = mont_mul(p1.z, p2.z, pv, reduce=False)
+    e = fr_sub_lazy(
+        mont_mul(fr_add_lazy(p1.x, p1.y), fr_add_lazy(p2.x, p2.y), pv, reduce=False),
+        fr_add_lazy(a, b),
+        c,
     )
-    f = fr_sub(d, cc, pv)
-    g = fr_add(d, cc, pv)
-    h = fr_add(b, a, pv)
-    return Pt(mont_mul(e, f, pv), mont_mul(g, h, pv), mont_mul(e, h, pv), mont_mul(f, g, pv))
+    f = fr_sub_lazy(d, cc, c)
+    g = fr_add_lazy(d, cc)
+    h = fr_add_lazy(b, a)
+    return Pt(
+        mont_mul(e, f, pv, reduce=False),
+        mont_mul(g, h, pv, reduce=False),
+        mont_mul(e, h, pv, reduce=False),
+        mont_mul(f, g, pv, reduce=False),
+    )
 
 
 def _masked_add_kernel(lblk, consts_ref, a_ref, b_ref, m_ref, o_ref):
@@ -167,17 +183,19 @@ def masked_add_rows(a_rows: jnp.ndarray, b_rows: jnp.ndarray, mask: jnp.ndarray,
 def double(p1: Pt, c: Consts) -> Pt:
     """dbl-2008-hwcd with a = -1 (reference analogue: ec.template.wgsl:7-30)."""
     pv = c.p
-    a = mont_mul(p1.x, p1.x, pv)
-    b = mont_mul(p1.y, p1.y, pv)
-    zz = mont_mul(p1.z, p1.z, pv)
-    cc = fr_add(zz, zz, pv)
-    d = fr_neg(a, pv)
-    # fr_neg may return p for a == 0; normalize via fr_add with 0? Not needed:
-    # downstream fr_add/fr_sub assume inputs < 2p only for mont; but g/h feed
-    # fr_sub which assumes normalized limb values — p has normalized limbs.
-    xy = fr_add(p1.x, p1.y, pv)
-    e = fr_sub(mont_mul(xy, xy, pv), fr_add(a, b, pv), pv)
-    g = fr_add(d, b, pv)
-    f = fr_sub(g, cc, pv)
-    h = fr_sub(d, b, pv)
-    return Pt(mont_mul(e, f, pv), mont_mul(g, h, pv), mont_mul(e, h, pv), mont_mul(f, g, pv))
+    a = mont_mul(p1.x, p1.x, pv, reduce=False)
+    b = mont_mul(p1.y, p1.y, pv, reduce=False)
+    zz = mont_mul(p1.z, p1.z, pv, reduce=False)
+    cc = fr_add_lazy(zz, zz)
+    d = fr_neg_lazy(a, c)
+    xy = fr_add_lazy(p1.x, p1.y)
+    e = fr_sub_lazy(mont_mul(xy, xy, pv, reduce=False), fr_add_lazy(a, b), c)
+    g = fr_add_lazy(d, b)
+    f = fr_sub_lazy(g, cc, c)
+    h = fr_sub_lazy(d, b, c)
+    return Pt(
+        mont_mul(e, f, pv, reduce=False),
+        mont_mul(g, h, pv, reduce=False),
+        mont_mul(e, h, pv, reduce=False),
+        mont_mul(f, g, pv, reduce=False),
+    )
