@@ -1,0 +1,57 @@
+"""Benchmark CLI — `python -m webgpu_msm_twisted_edwards_tpu.benchmarks <cmd>`.
+
+The terminal analogue of the reference's benchmark dashboard + drivers
+(reference: src/ui/AllBenchmarks.tsx, src/submission/miscellaneous/
+full_benchmarks.ts and the per-stage benchmark modules).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="webgpu_msm_twisted_edwards_tpu.benchmarks")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_full = sub.add_parser("full", help="end-to-end MSM over powers (full_benchmarks parity)")
+    p_full.add_argument("--powers", type=int, nargs="+", default=[16, 17, 18, 19, 20])
+    p_full.add_argument("--runs", type=int, default=5)
+    p_full.add_argument("--csv", type=str, default=None)
+
+    p_dash = sub.add_parser("dashboard", help="race all MSM implementations (UI parity)")
+    p_dash.add_argument("--power", type=int, default=16)
+
+    for name in ("mont", "barrett", "barrett-domb", "convert", "decompose",
+                 "data-transfer", "add-points", "scalar-mul", "bucket-reduction"):
+        sub.add_parser(name, help=f"micro-benchmark: {name}")
+
+    args = ap.parse_args(argv)
+
+    from . import full, micro
+
+    if args.cmd == "full":
+        table = full.run(powers=tuple(args.powers), runs=args.runs, csv_path=args.csv)
+    elif args.cmd == "dashboard":
+        table = micro.dashboard(power=args.power)
+    else:
+        fn = {
+            "mont": micro.mont_mul,
+            "barrett": micro.barrett_mul,
+            "barrett-domb": micro.barrett_domb_mul,
+            "convert": micro.convert_inputs,
+            "decompose": micro.decompose_scalars,
+            "data-transfer": micro.data_transfer,
+            "add-points": micro.add_points,
+            "scalar-mul": micro.scalar_mul,
+            "bucket-reduction": micro.bucket_reduction,
+        }[args.cmd]
+        table = fn()
+    print()
+    print(table.markdown())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,90 @@
+"""End-to-end MSM benchmark over powers 2^16..2^20.
+
+Protocol parity with the reference driver (reference:
+src/submission/miscellaneous/full_benchmarks.ts:43-161): per power, one
+forced-recompile run then `runs` timed runs with 100 ms gaps, assembled into
+a Markdown table that separates first-run (compile) from steady state;
+results checked against the ZPrize fixtures when present, else the native
+oracle (the reference similarly adopts the WASM result as ground truth for
+random inputs, reference: AllBenchmarks.tsx:53-55).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from ..utils import oracle, test_data
+from ..utils.params import MsmConfig
+from .timing import Table, median
+
+
+def _inputs_for_power(p: int, seed: int = 20230923):
+    """Fixture inputs if available, else deterministic native-walk inputs."""
+    if test_data.available(p):
+        tc = test_data.load_test_case(p)
+        coords = np.zeros((len(tc.points), 2, 8), dtype=np.uint32)
+        for i, (x, y) in enumerate(tc.points):
+            for jw in range(8):
+                coords[i, 0, jw] = (x >> (32 * jw)) & 0xFFFFFFFF
+                coords[i, 1, jw] = (y >> (32 * jw)) & 0xFFFFFFFF
+        sc = np.zeros((len(tc.scalars), 8), dtype=np.uint32)
+        for i, s in enumerate(tc.scalars):
+            for jw in range(8):
+                sc[i, jw] = (s >> (32 * jw)) & 0xFFFFFFFF
+        return coords, sc, tc.expected, "fixture"
+    n = 1 << p
+    pts_u64 = oracle.gen_points(n, seed=seed)
+    rng = np.random.default_rng(42)
+    sc_u64 = rng.integers(0, 1 << 62, size=(n, 4), dtype=np.uint64)
+    sc_u64[:, 3] &= (1 << 58) - 1
+    coords = pts_u64.view(np.uint32).reshape(n, 2, 8)
+    scalars = sc_u64.view(np.uint32).reshape(n, 8)
+    expected = oracle.msm(pts_u64, sc_u64, c=16) if oracle.available() else None
+    return coords, scalars, expected, "native walk"
+
+
+def run(powers=(16, 17, 18, 19, 20), runs: int = 5, csv_path: str | None = None,
+        check: bool = True) -> Table:
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from ..cpu.mirrors import horner
+    from ..models import cuzk
+    from ..ops import msm_pipeline as MP
+
+    table = Table(["n", "inputs", "first run incl. compile (ms)",
+                   "median steady (ms)", "runs (ms)", "correct"])
+    for p in powers:
+        coords, scalars, expected, src = _inputs_for_power(p)
+        n = coords.shape[0]
+        cfg = MsmConfig(chunk_size=16)
+        dcoords = jax.device_put(jnp.asarray(coords))
+        dscalars = jax.device_put(jnp.asarray(scalars))
+        fn = jax.jit(partial(MP.msm_window_sums, cfg=cfg))
+
+        def one_run():
+            t0 = time.time()
+            rows = np.asarray(fn(dcoords, dscalars))
+            pts = cuzk.packed_rows_to_extpoints(rows)
+            total = horner(pts, cfg.chunk_size)
+            x, y = total.to_affine()
+            return (x, y), (time.time() - t0) * 1e3
+
+        res, compile_ms = one_run()
+        ts = []
+        for _ in range(runs):
+            r2, ms = one_run()
+            ts.append(ms)
+            time.sleep(0.1)
+        ok = "-"
+        if check and expected is not None:
+            ok = "yes" if res == tuple(expected) else "NO"
+        table.add(f"2^{p}", src, round(compile_ms), round(median(ts), 1),
+                  [round(t, 1) for t in ts], ok)
+        print(table.markdown().splitlines()[-1], flush=True)
+    if csv_path:
+        table.save_csv(csv_path)
+    return table

@@ -1,0 +1,270 @@
+"""Per-stage micro-benchmarks.
+
+One function per benchmark, mirroring the reference's miscellaneous suite
+(reference files in src/submission/miscellaneous/):
+
+| here              | reference                                   |
+|-------------------|---------------------------------------------|
+| mont_mul          | mont_mul_benchmarks.ts:27-242 (limb 12-16)  |
+| barrett_mul       | barrett_mul_benchmarks.ts                   |
+| barrett_domb_mul  | barrett_domb_mul_benchmarks.ts              |
+| convert_inputs    | convert_inputs_into_mont_benchmarks.ts      |
+| decompose_scalars | decompose_scalars_benchmark.ts              |
+| data_transfer     | data_transfer_cost_benchmarks.ts:16         |
+| add_points        | add_points_benchmarks.ts:80                 |
+| scalar_mul        | scalar_mul_benchmarks.ts (dbl-add vs Booth) |
+| bucket_reduction  | bucket_points_reduction_benchmark.ts        |
+| horners_rule      | horners_rule_benchmark.ts (GPU vs CPU)      |
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import numpy as np
+
+from ..utils.params import PARAMS, MsmConfig, compute_field_params
+from .timing import Table, median, time_device
+
+
+def _rand_limbs(rng, batch, params):
+    return rng.integers(0, 1 << params.word_size, size=(batch, params.num_words),
+                        dtype=np.uint32)
+
+
+def mont_mul(batch: int = 1 << 17, chain: int = 16, runs: int = 3) -> Table:
+    """Limb-width sweep 12-16 of chained Montgomery products — the study
+    behind the w=13 design choice (reference: README.md:400-428)."""
+    import jax.numpy as jnp
+
+    from ..ops.montgomery_variants import cost_loop, mont_mul_for_width
+
+    rng = np.random.default_rng(0)
+    table = Table(["limb width", "algorithm", "num words",
+                   f"{chain} chained muls x {batch} lanes: compile (ms)",
+                   "median run (ms)", "M mont/s"])
+    for w in (12, 13, 14, 15, 16):
+        params, _ = mont_mul_for_width(w)
+        algo = ("optimised (carry-free)" if params.nsafe >= params.num_words
+                else ("modified" if params.nsafe >= 1 else "CIOS"))
+        _, fn = cost_loop(w, batch, chain)
+        x = jnp.asarray(_rand_limbs(rng, batch, params))
+        y = jnp.asarray(_rand_limbs(rng, batch, params))
+        comp, ts = time_device(fn, x, y, runs=runs)
+        m = median(ts)
+        table.add(w, algo, params.num_words, round(comp), round(m, 2),
+                  round(batch * chain / m / 1e3, 1))
+    return table
+
+
+def barrett_mul(batch: int = 1 << 17, runs: int = 3) -> Table:
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.barrett import barrett_mul as bmul
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(_rand_limbs(rng, batch, PARAMS))
+    y = jnp.asarray(_rand_limbs(rng, batch, PARAMS))
+    fn = jax.jit(partial(bmul, params=PARAMS))
+    comp, ts = time_device(fn, x, y, runs=runs)
+    t = Table(["batch", "compile (ms)", "median (ms)", "M mul/s"])
+    t.add(batch, round(comp), round(median(ts), 2), round(batch / median(ts) / 1e3, 1))
+    return t
+
+
+def barrett_domb_mul(samples: int = 2000) -> Table:
+    """CPU mirror timing (the reference's variant was explored on GPU and
+    rejected; here the mirror documents the capability)."""
+    import random
+
+    from ..cpu.barrett_domb import barrett_domb_mul_int
+
+    r = random.Random(0)
+    xs = [r.randrange(0, PARAMS.p) for _ in range(samples)]
+    ys = [r.randrange(0, PARAMS.p) for _ in range(samples)]
+    t0 = time.time()
+    for x, y in zip(xs, ys):
+        barrett_domb_mul_int(x, y)
+    dt = (time.time() - t0) * 1e3
+    t = Table(["samples", "total (ms)", "us/mul"])
+    t.add(samples, round(dt, 1), round(dt * 1e3 / samples, 2))
+    return t
+
+
+def convert_inputs(batch: int = 1 << 18, runs: int = 3) -> Table:
+    """Point conversion into Montgomery limb form (reference:
+    convert_inputs_into_mont_benchmarks.ts)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.pallas import convert as PC
+
+    rng = np.random.default_rng(0)
+    coords = rng.integers(0, 1 << 32, size=(batch, 2, 8), dtype=np.uint64).astype(np.uint32)
+    coords[:, :, 7] = 0
+    fn = jax.jit(partial(PC.build_table, interpret=None))
+    comp, ts = time_device(fn, jnp.asarray(coords), runs=runs)
+    t = Table(["points", "compile (ms)", "median (ms)", "M points/s"])
+    t.add(batch, round(comp), round(median(ts), 2), round(batch / median(ts) / 1e3, 1))
+    return t
+
+
+def decompose_scalars(batch: int = 1 << 20, runs: int = 3) -> Table:
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import convert as CV
+
+    rng = np.random.default_rng(0)
+    sc = rng.integers(0, 1 << 32, size=(batch, 8), dtype=np.uint64).astype(np.uint32)
+    cfg = MsmConfig(chunk_size=16)
+    fn = jax.jit(partial(CV.decompose_scalars_signed, cfg=cfg))
+    comp, ts = time_device(fn, jnp.asarray(sc), runs=runs)
+    t = Table(["scalars", "compile (ms)", "median (ms)", "M scalars/s"])
+    t.add(batch, round(comp), round(median(ts), 2), round(batch / median(ts) / 1e3, 1))
+    return t
+
+
+def data_transfer(mb: int = 64, runs: int = 3) -> Table:
+    """Host->device and device->host bandwidth (reference:
+    data_transfer_cost_benchmarks.ts:16).  On this rig the link is a network
+    tunnel; on a directly attached TPU this measures PCIe/DMA."""
+    import jax
+
+    n = mb * (1 << 20) // 4
+    host = np.arange(n, dtype=np.uint32)
+    t = Table(["direction", "MB", "median (ms)", "GB/s"])
+    ts = []
+    for _ in range(runs):
+        t0 = time.time()
+        dev = jax.device_put(host)
+        dev.block_until_ready()
+        ts.append((time.time() - t0) * 1e3)
+    m = median(ts)
+    t.add("host->device", mb, round(m, 1), round(mb / 1024 / (m / 1e3), 2))
+    ts = []
+    for _ in range(runs):
+        t0 = time.time()
+        _ = np.asarray(dev)
+        ts.append((time.time() - t0) * 1e3)
+    m = median(ts)
+    t.add("device->host", mb, round(m, 1), round(mb / 1024 / (m / 1e3), 2))
+    return t
+
+
+def add_points(batch: int = 1 << 18, runs: int = 3) -> Table:
+    """Batched EC adds: Pallas masked-add kernel vs XLA curve ops
+    (reference: add_points_benchmarks.ts:80 + wgsl add_points_benchmark)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import curve as C
+    from ..ops.pallas import scan as PS
+    from ..ops.pallas.ec import masked_add_rows
+
+    rng = np.random.default_rng(0)
+    # Valid limb-range rows are enough for throughput timing.
+    a = jnp.asarray(rng.integers(0, 1 << 26, size=(batch, PS.TW), dtype=np.uint32))
+    b = jnp.asarray(rng.integers(0, 1 << 26, size=(batch, PS.TW), dtype=np.uint32))
+    mask = jnp.ones((batch,), jnp.int32)
+    fn = jax.jit(partial(masked_add_rows, interpret=None))
+    comp, ts = time_device(fn, a, b, mask, runs=runs)
+    t = Table(["impl", "adds", "compile (ms)", "median (ms)", "M adds/s"])
+    m = median(ts)
+    t.add("pallas masked_add_rows", batch, round(comp), round(m, 2),
+          round(batch / m / 1e3, 2))
+
+    # XLA curve-op path for comparison.
+    x = jnp.asarray(rng.integers(0, 1 << 13, size=(batch, 20), dtype=np.uint32))
+    pt = C.PointXYTZ(x, x, x, x)
+    f2 = jax.jit(lambda p: C.add(p, p))
+    comp, ts = time_device(f2, pt, runs=runs)
+    m = median(ts)
+    t.add("xla curve.add", batch, round(comp), round(m, 2),
+          round(batch / m / 1e3, 2))
+    return t
+
+
+def scalar_mul(batch: int = 4096, runs: int = 3) -> Table:
+    """Double-and-add vs Booth recoding (reference:
+    scalar_mul_benchmarks.ts; Booth loses on random scalars,
+    README.md:487-495)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..cpu.curve import GENERATOR
+    from ..ops import convert as CV
+    from ..ops import curve as C
+    from ..ops import field as F
+    from ..ops import scalar_mul as SM
+
+    rng = np.random.default_rng(0)
+    coords = np.zeros((batch, 2, 8), dtype=np.uint32)
+    gx, gy = GENERATOR.to_affine()
+    for jw in range(8):
+        coords[:, 0, jw] = (gx >> (32 * jw)) & 0xFFFFFFFF
+        coords[:, 1, jw] = (gy >> (32 * jw)) & 0xFFFFFFFF
+    k = rng.integers(0, 1 << 32, size=(batch, 8), dtype=np.uint64).astype(np.uint32)
+
+    @jax.jit
+    def prep(coords_u32):
+        xm, ym, tm = CV.points_to_mont_limbs(coords_u32, PARAMS)
+        z = jnp.broadcast_to(F.r_limbs(PARAMS), xm.shape)
+        return C.PointXYTZ(xm, ym, tm, z)
+
+    pts = prep(jnp.asarray(coords))
+    t = Table(["strategy", "batch", "compile (ms)", "median (ms)", "k mults/s"])
+    for name, fn in (("double_and_add", SM.double_and_add), ("booth", SM.booth)):
+        f = jax.jit(partial(fn, num_bits=256, params=PARAMS))
+        comp, ts = time_device(f, pts, jnp.asarray(k), runs=runs)
+        m = median(ts)
+        t.add(name, batch, round(comp), round(m, 2), round(batch / m, 1))
+    return t
+
+
+def bucket_reduction(num_windows: int = 16, runs: int = 3) -> Table:
+    """The BPR stage in isolation (reference:
+    bucket_points_reduction_benchmark.ts + horners_rule_benchmark.ts)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.msm_pipeline import identity_row_np
+    from ..ops.pallas import bpr as PB
+
+    nb = MsmConfig(chunk_size=16).num_buckets
+    rng = np.random.default_rng(0)
+    # Random-looking packed rows are fine for timing (not for correctness).
+    rows = jnp.asarray(np.tile(identity_row_np(), (num_windows * nb, 1)))
+    fn = jax.jit(partial(PB.bpr, num_windows=num_windows))
+    comp, ts = time_device(fn, rows, runs=runs)
+    t = Table(["buckets", "compile (ms)", "median (ms)"])
+    t.add(num_windows * nb, round(comp), round(median(ts), 2))
+    return t
+
+
+def dashboard(power: int = 16, runs: int = 1) -> Table:
+    """Race every MSM implementation at one input size, with correctness
+    checks — the terminal analogue of the reference's benchmark UI
+    (reference: src/ui/AllBenchmarks.tsx:156-222, Benchmark.tsx:29-51)."""
+    from ..models.baselines import ALL_MSM_FUNCTIONS
+    from ..utils import oracle
+    from .full import _inputs_for_power
+
+    coords, scalars, expected, src = _inputs_for_power(power)
+    t = Table(["function", "time (ms)", "correct"])
+    pts_list = None
+    for name, fn in ALL_MSM_FUNCTIONS.items():
+        if "naive" in name and power > 14:
+            t.add(name, "skipped (naive path is O(256 n) on-device)", "-")
+            continue
+        t0 = time.time()
+        res = fn(coords, scalars)
+        ms = (time.time() - t0) * 1e3
+        ok = "-"
+        if expected is not None:
+            ok = "✓" if (res["x"], res["y"]) == tuple(expected) else "✗"
+        t.add(name, round(ms, 1), ok)
+        print(t.markdown().splitlines()[-1], flush=True)
+    return t

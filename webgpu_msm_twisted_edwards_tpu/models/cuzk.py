@@ -145,6 +145,7 @@ def compute_msm(
     points: Sequence[tuple[int, int]] | np.ndarray,
     scalars: Sequence[int] | np.ndarray,
     log_result: bool = False,
+    force_recompile: bool = False,
     chunk_size: int | None = None,
     bpr_chunks: int = 256,
     use_pallas: bool | None = None,
@@ -162,6 +163,12 @@ def compute_msm(
     - the pure-XLA reference pipeline (kept as the correctness mirror and the
       small-input / c=4 path).
     """
+    if force_recompile:
+        # Parity with the reference's shader-cache buster
+        # (reference: submission.ts:76-77, shader_manager.ts:85-92): drop the
+        # cached jitted pipelines so XLA re-traces and re-compiles.
+        _jitted_pipeline.cache_clear()
+        _jitted_pallas_pipeline.cache_clear()
     coords, sc = prepare_inputs(points, scalars)
     n = coords.shape[0]
     cfg = default_msm_config(n) if chunk_size is None else MsmConfig(chunk_size=chunk_size)

@@ -35,6 +35,40 @@ def default_mesh(num_devices: int | None = None, axis_name: str = "points") -> M
     return Mesh(np.array(devs), (axis_name,))
 
 
+def sharded_window_sums_pallas(
+    coords_u32: jnp.ndarray,
+    scalars_u32: jnp.ndarray,
+    mesh: Mesh,
+    cfg: MsmConfig,
+    axis_name: str = "points",
+) -> jnp.ndarray:
+    """Production multi-chip path: each shard runs the full Pallas pipeline on
+    its points; the [W, TW] packed window-sum rows (a few KB) ride the ICI via
+    all_gather and fold with the batched point-add kernel.  Returns replicated
+    [W, TW] packed rows."""
+    from ..ops import msm_pipeline as MP
+    from ..ops.pallas.ec import masked_add_rows
+
+    ndev = mesh.devices.size
+
+    def local_fn(c, s):
+        rows = MP.msm_window_sums(c, s, cfg)                  # [W, TW]
+        g = jax.lax.all_gather(rows, axis_name)               # [D, W, TW]
+        out = g[0]
+        ones = jnp.ones((rows.shape[0],), jnp.int32)
+        for i in range(1, ndev):
+            out = masked_add_rows(out, g[i], ones)
+        return out
+
+    return shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name)),
+        out_specs=P(),
+        check_rep=False,
+    )(coords_u32, scalars_u32)
+
+
 def sharded_window_sums(
     coords_u32: jnp.ndarray,
     scalars_u32: jnp.ndarray,
@@ -75,15 +109,27 @@ def _jitted_sharded(mesh: Mesh, chunk_size: int, bpr_chunks: int, axis_name: str
     return jax.jit(fn)
 
 
+@lru_cache(maxsize=None)
+def _jitted_sharded_pallas(mesh: Mesh, chunk_size: int, axis_name: str):
+    cfg = MsmConfig(chunk_size=chunk_size)
+    fn = partial(sharded_window_sums_pallas, mesh=mesh, cfg=cfg, axis_name=axis_name)
+    return jax.jit(fn)
+
+
 def compute_msm_sharded(
     points: Sequence[tuple[int, int]] | np.ndarray,
     scalars: Sequence[int] | np.ndarray,
     mesh: Mesh | None = None,
     chunk_size: int | None = None,
     bpr_chunks: int = 256,
+    pipeline: str | None = None,
 ) -> dict[str, int]:
     """Multi-device analogue of `compute_msm`: same signature and result, with
-    the point axis sharded over the mesh."""
+    the point axis sharded over the mesh.
+
+    pipeline: "pallas" (production kernels, TPU) or "xla" (the pure-XLA
+    pipeline, also usable on the virtual CPU mesh).  Default: pallas on TPU
+    for c=16 shards of >= 512 points, else xla."""
     coords, sc = cuzk.prepare_inputs(points, scalars)
     n = coords.shape[0]
     if mesh is None:
@@ -91,11 +137,23 @@ def compute_msm_sharded(
     ndev = mesh.devices.size
     assert n % ndev == 0, f"n={n} must be divisible by mesh size {ndev}"
     cfg = default_msm_config(n) if chunk_size is None else MsmConfig(chunk_size=chunk_size)
-    fn = _jitted_sharded(mesh, cfg.chunk_size, bpr_chunks, mesh.axis_names[0])
-    sums = fn(jnp.asarray(coords), jnp.asarray(sc))
-    sums = jax.tree_util.tree_map(np.asarray, sums)
-    pts = cuzk.window_sums_to_extpoints(sums)
+    if pipeline is None:
+        pipeline = (
+            "pallas"
+            if jax.default_backend() == "tpu" and cfg.chunk_size == 16 and n // ndev >= 512
+            else "xla"
+        )
     from ..cpu.mirrors import horner
+
+    if pipeline == "pallas":
+        fn = _jitted_sharded_pallas(mesh, cfg.chunk_size, mesh.axis_names[0])
+        rows = np.asarray(fn(jnp.asarray(coords), jnp.asarray(sc)))
+        pts = cuzk.packed_rows_to_extpoints(rows)
+    else:
+        fn = _jitted_sharded(mesh, cfg.chunk_size, bpr_chunks, mesh.axis_names[0])
+        sums = fn(jnp.asarray(coords), jnp.asarray(sc))
+        sums = jax.tree_util.tree_map(np.asarray, sums)
+        pts = cuzk.window_sums_to_extpoints(sums)
 
     total = horner(pts, cfg.chunk_size)
     x, y = total.to_affine()

@@ -27,6 +27,10 @@ def _lib() -> ctypes.CDLL:
     u64p = ctypes.POINTER(ctypes.c_uint64)
     lib.oracle_msm.argtypes = [u64p, u64p, ctypes.c_size_t, ctypes.c_int, u64p]
     lib.oracle_msm.restype = None
+    lib.oracle_msm_parallel.argtypes = [
+        u64p, u64p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int, u64p
+    ]
+    lib.oracle_msm_parallel.restype = None
     lib.oracle_fp_mul.argtypes = [u64p, u64p, u64p]
     lib.oracle_fp_mul.restype = None
     lib.oracle_point_add.argtypes = [u64p, u64p, u64p]
@@ -106,4 +110,39 @@ def msm(points: list[tuple[int, int]] | np.ndarray, scalars: list[int] | np.ndar
             sbuf[i * 4 : i * 4 + 4] = _int_to_u64x4(s)
     out = np.zeros(8, dtype=np.uint64)
     _lib().oracle_msm(_ptr(pbuf), _ptr(sbuf), n, c, _ptr(out))
+    return _u64x4_to_int(out[:4]), _u64x4_to_int(out[4:])
+
+
+def _pack_inputs(points, scalars):
+    if isinstance(points, np.ndarray):
+        pbuf = np.ascontiguousarray(points, dtype=np.uint64).reshape(-1)
+        n = points.shape[0]
+    else:
+        n = len(points)
+        pbuf = np.empty(n * 8, dtype=np.uint64)
+        for i, (x, y) in enumerate(points):
+            pbuf[i * 8 : i * 8 + 4] = _int_to_u64x4(x)
+            pbuf[i * 8 + 4 : i * 8 + 8] = _int_to_u64x4(y)
+    if isinstance(scalars, np.ndarray):
+        sbuf = np.ascontiguousarray(scalars, dtype=np.uint64).reshape(-1)
+    else:
+        sbuf = np.empty(n * 4, dtype=np.uint64)
+        for i, sv in enumerate(scalars):
+            sbuf[i * 4 : i * 4 + 4] = _int_to_u64x4(sv)
+    return pbuf, sbuf, n
+
+
+def msm_parallel(points, scalars, c: int = 16, nthreads: int = 0) -> tuple[int, int]:
+    """Multi-threaded native MSM, one thread per scalar window (role parity
+    with the reference's rayon-backed Aleo `msm_parallel`,
+    reference: src/workers/aleo-wasm-web aleo_wasm.d.ts:144-150 and
+    src/workers/wasmMSM.ts:4-8 which sizes the pool to hardwareConcurrency-2).
+    """
+    import os as _os
+
+    if nthreads <= 0:
+        nthreads = max(1, (_os.cpu_count() or 2) - 2)
+    pbuf, sbuf, n = _pack_inputs(points, scalars)
+    out = np.zeros(8, dtype=np.uint64)
+    _lib().oracle_msm_parallel(_ptr(pbuf), _ptr(sbuf), n, c, nthreads, _ptr(out))
     return _u64x4_to_int(out[:4]), _u64x4_to_int(out[4:])

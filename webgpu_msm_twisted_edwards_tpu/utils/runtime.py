@@ -1,0 +1,90 @@
+"""Device runtime helpers — the TPU analogue of the reference's thin WebGPU
+wrapper layer (reference: src/submission/implementation/cuzk/gpu.ts:14-229).
+
+| reference (gpu.ts)             | here                                     |
+|--------------------------------|------------------------------------------|
+| get_device (adapter request)   | get_device / device_info                 |
+| create_and_write_sb / ub       | to_device (host->HBM, one-time staging)  |
+| create_sb (output buffers)     | implicit — XLA allocates program outputs |
+| create_bind_group (+layout)    | implicit — jit binds arrays to programs  |
+| create_compute_pipeline        | compile (AOT-lower + compile a jit fn)   |
+| execute_pipeline               | calling the compiled function            |
+| read_from_gpu (staging buffer) | read_back (device->host)                 |
+| device.destroy                 | delete_buffers                           |
+
+On TPU the dispatch/bind-group machinery is the XLA runtime; what remains
+worth wrapping is explicit placement, compile control, and readback, plus the
+donation knob that mirrors the reference's buffer-reuse discipline (one
+command encoder, storage buffers shared across passes,
+reference: submission.ts:96-97).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+
+def get_device(index: int = 0):
+    """The accelerator device (reference analogue: gpu.ts:14-25
+    `get_device`, which requests a high-performance adapter and errors
+    without one)."""
+    import jax
+
+    devs = jax.devices()
+    if not devs:
+        raise RuntimeError("no JAX devices available")
+    return devs[index]
+
+
+def device_info() -> dict[str, Any]:
+    """Device limits/identity (reference analogue:
+    miscellaneous/print_device_limits.ts)."""
+    import jax
+
+    d = get_device()
+    return {
+        "backend": jax.default_backend(),
+        "kind": d.device_kind,
+        "id": d.id,
+        "num_devices": jax.device_count(),
+        "process_index": d.process_index,
+        "memory_stats": (d.memory_stats() if hasattr(d, "memory_stats") else None),
+    }
+
+
+def to_device(arr: np.ndarray, device=None):
+    """Stage a host array into device HBM once (reference analogue:
+    create_and_write_sb, gpu.ts:33-61 — the one bulk host->device write)."""
+    import jax
+
+    return jax.device_put(arr, device or get_device())
+
+
+def read_back(arr) -> np.ndarray:
+    """Device -> host (reference analogue: read_from_gpu's staging-buffer
+    copy, gpu.ts:92-135).  Keep results tiny — the pipeline is designed to
+    read back only the reduced window sums."""
+    return np.asarray(arr)
+
+
+def compile(fn, *example_args, donate_argnums=()):
+    """Eager AOT compile of a jitted function for the example shapes — the
+    analogue of create_compute_pipeline(Async) (gpu.ts:190-201); XLA compile
+    is the new shader compile (SURVEY.md §7 risk 5).  `donate_argnums` lets
+    XLA reuse input buffers like the reference's shared storage buffers."""
+    import jax
+
+    jitted = jax.jit(fn, donate_argnums=donate_argnums)
+    return jitted.lower(*example_args).compile()
+
+
+def delete_buffers(*arrays) -> None:
+    """Free device buffers eagerly (reference analogue: device.destroy /
+    buffer destruction, submission.ts:360)."""
+    for a in arrays:
+        try:
+            a.delete()
+        except Exception:
+            pass
