@@ -150,12 +150,12 @@ def msm_window_sums(
     """Full device pipeline: [n,2,8], [n,8] -> [W, TW] packed window sums.
 
     window_group = 0 chooses a memory-bounded default (all 16 windows at once
-    up to n=2^18, 8 at 2^19, 4 at 2^20+)."""
+    up to n=2^18 [~2 GB of staging], 8 up to 2^20 [~4.5 GB], 4 beyond)."""
     n = coords_u32.shape[0]
     w = cfg.num_windows
     nb = cfg.num_buckets
     if window_group == 0:
-        window_group = w if n <= (1 << 18) else (8 if n <= (1 << 19) else 4)
+        window_group = w if n <= (1 << 18) else (8 if n <= (1 << 20) else 4)
     assert w % window_group == 0
     groups = w // window_group
 

@@ -189,6 +189,74 @@ def fr_neg(a: jnp.ndarray, pv: jnp.ndarray) -> jnp.ndarray:
     return diff
 
 
+# ---------------------------------------------------------------------------
+# Batched ("many") variants: the VPU stalls on the sequential per-limb scalar
+# chains (the Montgomery qi recurrence, carry sweeps) when processing a single
+# field element — raw u32 MLA throughput is ~2 T/s but a lone interleaved
+# product reaches only ~0.3 T/s.  Stacking G independent operations into
+# [G, L, B] arrays amortizes every sequential step G-fold: measured ~2.4x
+# (950 M vs 395 M mont/s) at G=4, which is exactly the independence the
+# EC add/double formulas offer.
+
+
+def _stack(arrs):
+    return jnp.stack(arrs, axis=0)
+
+
+def mont_many(pairs, pv) -> list:
+    """Batched lazy Montgomery products: [(x, y), ...] -> [x*y*R^-1 ...].
+    All inputs [L, B] with normalized limbs, values < ~9p."""
+    g = len(pairs)
+    if g == 1:
+        return [mont_mul(pairs[0][0], pairs[0][1], pv, reduce=False)]
+    x = _stack([p[0] for p in pairs])
+    y = _stack([p[1] for p in pairs])
+    s = jnp.zeros_like(x)
+    ztail = jnp.zeros_like(x[:, 0:1])
+    pb = pv[None, :, :]
+    for i in range(L):
+        xi = x[:, i:i + 1]
+        t = s[:, 0:1] + xi * y[:, 0:1]
+        qi = (N0 * (t & MASK)) & MASK
+        u = s + xi * y + qi * pb
+        c = u[:, 0:1] >> W
+        s = jnp.concatenate([u[:, 1:2] + c, u[:, 2:], ztail], axis=1)
+    out = []
+    c = jnp.zeros_like(s[:, 0:1])
+    for i in range(L):
+        v = s[:, i:i + 1] + c
+        out.append(v & MASK)
+        c = v >> W
+    r = jnp.concatenate(out, axis=1)
+    return [r[i] for i in range(g)]
+
+
+def sweep_many(raws: list) -> list:
+    """Batched carry sweep over a list of [L, B] raw column sums."""
+    g = len(raws)
+    if g == 1:
+        return [carry_sweep(raws[0])]
+    s = _stack(raws)
+    out = []
+    c = jnp.zeros_like(s[:, 0:1])
+    for i in range(L):
+        v = s[:, i:i + 1] + c
+        out.append(v & MASK)
+        c = v >> W
+    r = jnp.concatenate(out, axis=1)
+    return [r[i] for i in range(g)]
+
+
+def add_many(pairs) -> list:
+    """Batched lazy additions (carry-normalize only)."""
+    return sweep_many([a + b for a, b in pairs])
+
+
+def sub_many(pairs, c: "Consts") -> list:
+    """Batched lazy subtractions a - b + 4p (b < 3p)."""
+    return sweep_many([a + (jnp.broadcast_to(c.q4, a.shape) - b) for a, b in pairs])
+
+
 def fr_add_lazy(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """a + b with carry normalization only (no mod-p reduction).  Values may
     exceed p; all lazy-path values stay < ~9p < 2^256, far inside the 20x13 =

@@ -26,6 +26,9 @@ from .common import (
     L,
     LP,
     Consts,
+    add_many,
+    mont_many,
+    sub_many,
     carry_sweep,
     cond_sub_p,
     fr_add,
@@ -88,49 +91,32 @@ def madd(p1: Pt, x2, y2, td2, c: Consts) -> Pt:
     # Lazy-reduction bounds (all values mod-p-equivalent, < 9.2p < 2^256):
     # coords in < ~4p; mont outputs < p + uv/R < 1.3p; sums < 2.6p (valid
     # fr_sub_lazy subtrahends < 3p); differences < minuend + 4p < 9.2p.
+    # Montgomery products run 4 at a time (mont_many) — the formula's natural
+    # independence hides the per-limb sequential chains (see common.py).
     pv = c.p
-    a = mont_mul(p1.x, x2, pv, reduce=False)
-    b = mont_mul(p1.y, y2, pv, reduce=False)
-    cc = mont_mul(p1.t, td2, pv, reduce=False)
+    s11, s22 = add_many([(p1.x, p1.y), (x2, y2)])
+    a, b, cc, e_in = mont_many([(p1.x, x2), (p1.y, y2), (p1.t, td2), (s11, s22)], pv)
     d = p1.z
-    e = fr_sub_lazy(
-        mont_mul(fr_add_lazy(p1.x, p1.y), fr_add_lazy(x2, y2), pv, reduce=False),
-        fr_add_lazy(a, b),
-        c,
-    )
-    f = fr_sub_lazy(d, cc, c)
+    h = fr_add_lazy(a, b)
+    e, f = sub_many([(e_in, h), (d, cc)], c)
     g = fr_add_lazy(d, cc)
-    h = fr_add_lazy(b, a)
-    return Pt(
-        mont_mul(e, f, pv, reduce=False),
-        mont_mul(g, h, pv, reduce=False),
-        mont_mul(e, h, pv, reduce=False),
-        mont_mul(f, g, pv, reduce=False),
-    )
+    x3, y3, t3, z3 = mont_many([(e, f), (g, h), (e, h), (f, g)], pv)
+    return Pt(x3, y3, t3, z3)
 
 
 def full_add(p1: Pt, p2: Pt, c: Consts) -> Pt:
     """General unified add, 10 Montgomery products (both Z arbitrary)."""
     pv = c.p
-    a = mont_mul(p1.x, p2.x, pv, reduce=False)
-    b = mont_mul(p1.y, p2.y, pv, reduce=False)
-    t12 = mont_mul(p1.t, p2.t, pv, reduce=False)
+    s11, s22 = add_many([(p1.x, p1.y), (p2.x, p2.y)])
+    a, b, t12, d, e_in = mont_many(
+        [(p1.x, p2.x), (p1.y, p2.y), (p1.t, p2.t), (p1.z, p2.z), (s11, s22)], pv
+    )
     cc = mont_mul(t12, jnp.broadcast_to(c.d, t12.shape), pv, reduce=False)
-    d = mont_mul(p1.z, p2.z, pv, reduce=False)
-    e = fr_sub_lazy(
-        mont_mul(fr_add_lazy(p1.x, p1.y), fr_add_lazy(p2.x, p2.y), pv, reduce=False),
-        fr_add_lazy(a, b),
-        c,
-    )
-    f = fr_sub_lazy(d, cc, c)
+    h = fr_add_lazy(a, b)
+    e, f = sub_many([(e_in, h), (d, cc)], c)
     g = fr_add_lazy(d, cc)
-    h = fr_add_lazy(b, a)
-    return Pt(
-        mont_mul(e, f, pv, reduce=False),
-        mont_mul(g, h, pv, reduce=False),
-        mont_mul(e, h, pv, reduce=False),
-        mont_mul(f, g, pv, reduce=False),
-    )
+    x3, y3, t3, z3 = mont_many([(e, f), (g, h), (e, h), (f, g)], pv)
+    return Pt(x3, y3, t3, z3)
 
 
 def _masked_add_kernel(lblk, consts_ref, a_ref, b_ref, m_ref, o_ref):
@@ -183,19 +169,12 @@ def masked_add_rows(a_rows: jnp.ndarray, b_rows: jnp.ndarray, mask: jnp.ndarray,
 def double(p1: Pt, c: Consts) -> Pt:
     """dbl-2008-hwcd with a = -1 (reference analogue: ec.template.wgsl:7-30)."""
     pv = c.p
-    a = mont_mul(p1.x, p1.x, pv, reduce=False)
-    b = mont_mul(p1.y, p1.y, pv, reduce=False)
-    zz = mont_mul(p1.z, p1.z, pv, reduce=False)
-    cc = fr_add_lazy(zz, zz)
-    d = fr_neg_lazy(a, c)
     xy = fr_add_lazy(p1.x, p1.y)
-    e = fr_sub_lazy(mont_mul(xy, xy, pv, reduce=False), fr_add_lazy(a, b), c)
+    a, b, zz, e_in = mont_many([(p1.x, p1.x), (p1.y, p1.y), (p1.z, p1.z), (xy, xy)], pv)
+    cc, s_ab = add_many([(zz, zz), (a, b)])
+    d = fr_neg_lazy(a, c)
+    e, h = sub_many([(e_in, s_ab), (d, b)], c)
     g = fr_add_lazy(d, b)
     f = fr_sub_lazy(g, cc, c)
-    h = fr_sub_lazy(d, b, c)
-    return Pt(
-        mont_mul(e, f, pv, reduce=False),
-        mont_mul(g, h, pv, reduce=False),
-        mont_mul(e, h, pv, reduce=False),
-        mont_mul(f, g, pv, reduce=False),
-    )
+    x3, y3, t3, z3 = mont_many([(e, f), (g, h), (e, h), (f, g)], pv)
+    return Pt(x3, y3, t3, z3)

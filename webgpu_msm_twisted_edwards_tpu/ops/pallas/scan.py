@@ -27,12 +27,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-from .common import L, LP, load_consts, make_consts_array, pack2, unpack2, fr_neg_lazy
+from .common import L, LP, load_consts, make_consts_array, pack2, unpack2, fr_neg_lazy, sweep_many
 from .ec import Pt, full_add, madd, pt_identity, pt_pack, pt_select, pt_unpack
 
 #: Entries per fragment (scan depth) and fragment-lanes per kernel block.
 K = 64
-LBLK = 128
+LBLK = 256
 
 #: Table/accumulator row width in u32 (packed x,y,t,td / x,y,t,z + padding).
 TW = 64
@@ -67,9 +67,11 @@ def _msm_scan_kernel(lblk, consts_ref, rows_ref, keys_ref, sgn_ref, out_ref):
         t2 = unpack2(slab[2 * LP:3 * LP])
         td2 = unpack2(slab[3 * LP:4 * LP])
         neg = sgn_ref[pl.ds(j, 1), :] != 0                    # [1, LBLK]
-        x2 = jnp.where(neg, fr_neg_lazy(x2, c), x2)
-        t2 = jnp.where(neg, fr_neg_lazy(t2, c), t2)
-        td2 = jnp.where(neg, fr_neg_lazy(td2, c), td2)
+        q4 = jnp.broadcast_to(c.q4, x2.shape)
+        nx2, nt2, ntd2 = sweep_many([q4 - x2, q4 - t2, q4 - td2])
+        x2 = jnp.where(neg, nx2, x2)
+        t2 = jnp.where(neg, nt2, t2)
+        td2 = jnp.where(neg, ntd2, td2)
 
         kj = keys_ref[pl.ds(j, 1), :]                         # [1, lblk]
         same = kj == kprev
