@@ -32,3 +32,15 @@ def test_pallas_msm_matches_oracle():
     res = cuzk.compute_msm(coords, scalars, chunk_size=16, use_pallas=True)
     want = oracle.msm(pts_u64, sc_u64, c=16)
     assert (res["x"], res["y"]) == want
+
+
+@requires_tpu
+def test_per_stage_debug_validators():
+    """The reference's debug-readback pattern: every stage vs its CPU mirror
+    (reference: submission.ts:892-1363)."""
+    from conftest import random_points_scalars
+    from webgpu_msm_twisted_edwards_tpu.ops.debug import validate_pipeline
+
+    pts, scalars = random_points_scalars(512, seed=21)
+    status = validate_pipeline([p.to_affine() for p in pts], scalars, chunk_size=16)
+    assert all(v == "ok" for v in status.values()), status
