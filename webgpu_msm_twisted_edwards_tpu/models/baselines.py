@@ -79,9 +79,21 @@ def tpu_naive_msm(points, scalars) -> dict[str, int]:
     return {"x": x, "y": y}
 
 
+def _oracle_inputs(points, scalars):
+    """Normalize API inputs to the oracle's u64-limb buffers: points may be
+    (x, y) int pairs or the device [n, 2, 8] u32 word layout; scalars ints or
+    [n, 8] u32 words."""
+    if isinstance(points, np.ndarray) and points.dtype == np.uint32:
+        points = np.ascontiguousarray(points).view(np.uint64).reshape(points.shape[0], 8)
+    if isinstance(scalars, np.ndarray) and scalars.dtype == np.uint32:
+        scalars = np.ascontiguousarray(scalars).view(np.uint64).reshape(scalars.shape[0], 4)
+    return points, scalars
+
+
 def cpu_compute_msm(points, scalars) -> dict[str, int]:
     """Native serial CPU MSM (C++ oracle) — the analogue of the reference's
     single-threaded WASM baseline (reference: reference.ts:29-39)."""
+    points, scalars = _oracle_inputs(points, scalars)
     x, y = oracle.msm(points, scalars)
     return {"x": x, "y": y}
 
@@ -89,6 +101,7 @@ def cpu_compute_msm(points, scalars) -> dict[str, int]:
 def cpu_compute_msm_parallel(points, scalars) -> dict[str, int]:
     """Native multi-threaded CPU MSM — the analogue of
     wasm_compute_msm_parallel (reference: reference.ts:48-56)."""
+    points, scalars = _oracle_inputs(points, scalars)
     x, y = oracle.msm_parallel(points, scalars)
     return {"x": x, "y": y}
 

@@ -96,9 +96,9 @@ def window_group_bucket_sums(
     sgn = (idxs_s < 0).astype(jnp.int32)
 
     # One bulk gather into sorted order.
-    rows = table[pidx.reshape(-1)]                                   # [Wg*n, TW]
+    rows = table[pidx.reshape(-1)]                                   # [Wg*n, TWR]
     nf = (wg * n) // K
-    rows = rows.reshape(nf, K, TW)
+    rows = rows.reshape(nf, K, PS.TWR)
     keys_flat = keys_s.reshape(nf, K)
     keys_t = keys_flat.T                                             # [K, NF]
     sgn_t = sgn.reshape(nf, K).T

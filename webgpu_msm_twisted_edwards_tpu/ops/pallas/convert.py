@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .common import L, LP, MASK, W, load_consts, make_consts_array, mont_mul, pack2
-from .scan import TW, _interpret_default
+from .scan import TWR as TW, _interpret_default
 
 #: Points per kernel block.
 CBLK = 256

@@ -34,8 +34,11 @@ from .ec import Pt, full_add, madd, pt_identity, pt_pack, pt_select, pt_unpack
 K = 64
 LBLK = 256
 
-#: Table/accumulator row width in u32 (packed x,y,t,td / x,y,t,z + padding).
+#: Accumulator/output row width in u32 (packed x,y,t,z + padding).
 TW = 64
+#: Table row width in u32 (packed x,y,t,td at cols 0..39; padded to a full
+#: (8,128) tile so XLA's row gather runs at its widest-row rate).
+TWR = 128
 
 
 def _interpret_default(interpret):
@@ -49,7 +52,7 @@ def _interpret_default(interpret):
 
 
 def _msm_scan_kernel(lblk, consts_ref, rows_ref, keys_ref, sgn_ref, out_ref):
-    """rows_ref: [lblk, K, TW] gathered table rows (x,y,t,td packed-2);
+    """rows_ref: [lblk, K, TWR] gathered table rows (x,y,t,td packed-2);
     keys_ref/sgn_ref: [K, lblk] bucket keys / negation flags;
     out_ref: [lblk, K, TW] inclusive in-fragment scan values (x,y,t,z packed).
     """
@@ -61,7 +64,7 @@ def _msm_scan_kernel(lblk, consts_ref, rows_ref, keys_ref, sgn_ref, out_ref):
 
     def body(j, state):
         acc, kprev = state
-        slab = jnp.transpose(rows_ref[:, j, :])          # [TW, LBLK]
+        slab = jnp.transpose(rows_ref[:, j, 0:4 * LP])   # [4*LP, LBLK]
         x2 = unpack2(slab[0 * LP:1 * LP])
         y2 = unpack2(slab[1 * LP:2 * LP])
         t2 = unpack2(slab[2 * LP:3 * LP])
@@ -88,7 +91,7 @@ def _msm_scan_kernel(lblk, consts_ref, rows_ref, keys_ref, sgn_ref, out_ref):
 
 def msm_scan(rows: jnp.ndarray, keys_t: jnp.ndarray, sgn_t: jnp.ndarray,
              interpret: bool | None = None) -> jnp.ndarray:
-    """rows: [NF, K, TW]; keys_t, sgn_t: [K, NF].  Returns T: [NF, K, TW]."""
+    """rows: [NF, K, TWR]; keys_t, sgn_t: [K, NF].  Returns T: [NF, K, TW]."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -103,7 +106,7 @@ def msm_scan(rows: jnp.ndarray, keys_t: jnp.ndarray, sgn_t: jnp.ndarray,
         grid=grid,
         in_specs=[
             pl.BlockSpec((L, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((lblk, K, TW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lblk, K, rows.shape[-1]), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((K, lblk), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((K, lblk), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
