@@ -16,13 +16,9 @@ the same API so the benchmark harness can race them:
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
-from typing import Sequence
-
 import numpy as np
 
 from ..utils import oracle
-from ..utils.params import MsmConfig, default_msm_config
 from . import cuzk
 
 

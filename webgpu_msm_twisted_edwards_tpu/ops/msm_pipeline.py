@@ -3,9 +3,9 @@
 End-to-end re-design of the reference cuZK orchestrator
 (reference: src/submission/submission.ts:73-412) for TPU:
 
-    1. convert+decompose (XLA)      — build the Montgomery point table
-                                      [n, TW] (x, y, t, d*t packed 2 limbs per
-                                      u32) and signed window digits.
+    1. convert (Pallas) + decompose — build the Montgomery point table
+       (XLA)                            (x, y, t, d*t packed 2 limbs per u32)
+                                      and signed window digits.
     2. sort (XLA lax.sort)          — per window, order (bucket, point, sign);
                                       replaces the atomics CSR transpose
                                       (reference: transpose.wgsl:34-74).
@@ -26,7 +26,7 @@ Data stays on device between stages; only the [W] window sums are read back.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -35,11 +35,10 @@ from jax import lax
 
 from ..utils.params import PARAMS, MsmConfig
 from . import convert as CV
-from . import field as F
 from .pallas import bpr as PB
 from .pallas import convert as PC
 from .pallas import scan as PS
-from .pallas.common import LP, int_to_limbs, make_consts_array
+from .pallas.common import LP, int_to_limbs
 from .pallas.ec import masked_add_rows
 
 L = PARAMS.num_words

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .common import L, LP, load_consts, make_consts_array
-from .ec import Pt, double, full_add, masked_add_rows, pt_identity, pt_pack, pt_select, pt_unpack
+from .ec import double, full_add, masked_add_rows, pt_identity, pt_pack, pt_select, pt_unpack
 from .scan import TW, _interpret_default
 
 #: Buckets per chunk in stage 1.

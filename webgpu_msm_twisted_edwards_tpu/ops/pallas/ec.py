@@ -27,20 +27,15 @@ from .common import (
     LP,
     Consts,
     add_many,
-    mont_many,
-    sub_many,
-    carry_sweep,
-    cond_sub_p,
-    fr_add,
     fr_add_lazy,
-    fr_neg,
     fr_neg_lazy,
-    fr_sub,
     fr_sub_lazy,
     load_consts,
     make_consts_array,
+    mont_many,
     mont_mul,
     pack2,
+    sub_many,
     unpack2,
 )
 

@@ -13,9 +13,9 @@ Total EC-add work is exactly `num_windows * n` mixed adds (the information-
 theoretic minimum for bucket accumulation), independent of the bucket-size
 distribution — unlike thread-per-bucket schemes, load imbalance costs nothing.
 
-Memory layout: each scan step reads a [LBLK, TW] tile of gathered table rows
-and transposes it in-VMEM to the [limb, lane] compute layout; the transposes
-ride the permute unit and are free next to the 8-product EC add.
+Memory layout: each scan step reads one [LBLK, 4*LP] tile of gathered table
+rows and transposes it in-VMEM to the [limb, lane] compute layout; the
+transposes ride the permute unit and are free next to the 8-product EC add.
 """
 
 from __future__ import annotations
@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-from .common import L, LP, load_consts, make_consts_array, pack2, unpack2, fr_neg_lazy, sweep_many
+from .common import L, LP, load_consts, make_consts_array, sweep_many, unpack2
 from .ec import Pt, full_add, madd, pt_identity, pt_pack, pt_select, pt_unpack
 
 #: Entries per fragment (scan depth) and fragment-lanes per kernel block.
@@ -212,11 +212,8 @@ def seg_carry_scan(a: jnp.ndarray, b: jnp.ndarray, kab: int = K,
         c_loc, _, _, _ = ab_scan_level(a, b, n, interpret=interpret)
         return c_loc
     if n % kab != 0:
-        # Pad with reset steps (a=0, b=identity): carries for the padding are
+        # Pad with reset steps (a=0, b=anything): carries for the padding are
         # never read.
-        from .common import int_to_limbs
-        from ...utils.params import PARAMS as _P
-
         pad = kab - n % kab
         a = jnp.concatenate([a, jnp.zeros((pad,), a.dtype)])
         b = jnp.concatenate([b, jnp.broadcast_to(b[-1:], (pad, b.shape[1]))])
