@@ -44,3 +44,35 @@ def test_per_stage_debug_validators():
     pts, scalars = random_points_scalars(512, seed=21)
     status = validate_pipeline([p.to_affine() for p in pts], scalars, chunk_size=16)
     assert all(v == "ok" for v in status.values()), status
+
+
+@requires_tpu
+def test_adversarial_inputs():
+    """Extreme bucket skew (all-equal scalars), all-zero, and order-1 scalars.
+    The segmented-scan SMVP does fixed work regardless of the bucket-size
+    distribution (unlike thread-per-bucket designs; the reference documents
+    the imbalance caveat at README.md:541-545)."""
+    from webgpu_msm_twisted_edwards_tpu.models import cuzk
+    from webgpu_msm_twisted_edwards_tpu.utils import oracle
+    from webgpu_msm_twisted_edwards_tpu.utils.params import SUBGROUP_ORDER
+
+    if not oracle.available():
+        pytest.skip("liboracle.so not built")
+    n = 4096
+    pts_u64 = oracle.gen_points(n, seed=2)
+    coords = pts_u64.view(np.uint32).reshape(n, 2, 8)
+
+    def words(v):
+        sc = np.zeros((n, 8), dtype=np.uint32)
+        for j in range(8):
+            sc[:, j] = (v >> (32 * j)) & 0xFFFFFFFF
+        return sc
+
+    s = 0x0123456789ABCDEF0123456789ABCDEF0123456789ABCDEF0123456789ABCD
+    for v, name in ((s, "equal"), (SUBGROUP_ORDER - 1, "order-1")):
+        sc = words(v)
+        res = cuzk.compute_msm(coords, sc, chunk_size=16)
+        want = oracle.msm(pts_u64, np.ascontiguousarray(sc).view(np.uint64).reshape(n, 4), c=16)
+        assert (res["x"], res["y"]) == want, name
+    res0 = cuzk.compute_msm(coords, words(0), chunk_size=16)
+    assert (res0["x"], res0["y"]) == (0, 1)
