@@ -283,74 +283,9 @@ static void window_bucket_sum(Pt &g_out, const Pt *points,
                               const std::vector<std::vector<int>> &digits,
                               std::size_t n, int c, int w);
 
-static void msm_pippenger(Pt &out, const Pt *points, const u64 *scalars,
-                          std::size_t n, int c) {
-  const int num_windows = (256 + c - 1) / c;
-  const std::size_t nb = (std::size_t)1 << (c - 1);
-  std::vector<Pt> window_sums(num_windows);
-
-  // Signed digit decomposition per scalar, window-major bucket accumulation.
-  std::vector<Pt> buckets(nb);
-  std::vector<bool> used(nb);
-  std::vector<std::vector<int>> digits(n);
-  const u64 l = (u64)1 << c;
-  const u64 mask = l - 1;
-  for (std::size_t i = 0; i < n; ++i) {
-    digits[i].resize(num_windows);
-    u64 carry = 0;
-    for (int w = 0; w < num_windows; ++w) {
-      int bit = w * c;
-      int limb = bit / 64, off = bit % 64;
-      u64 v = scalars[i * 4 + limb] >> off;
-      if (off + c > 64 && limb + 1 < 4) v |= scalars[i * 4 + limb + 1] << (64 - off);
-      v = (v & mask) + carry;
-      if (v >= l / 2) {
-        digits[i][w] = (int)v - (int)l;
-        carry = 1;
-      } else {
-        digits[i][w] = (int)v;
-        carry = 0;
-      }
-    }
-  }
-
-  for (int w = 0; w < num_windows; ++w) {
-    std::fill(used.begin(), used.end(), false);
-    for (std::size_t i = 0; i < n; ++i) {
-      int d = digits[i][w];
-      if (d == 0) continue;
-      std::size_t idx = (std::size_t)(d > 0 ? d : -d) - 1;
-      Pt addend = points[i];
-      if (d < 0) pt_neg(addend, points[i]);
-      if (!used[idx]) {
-        buckets[idx] = addend;
-        used[idx] = true;
-      } else {
-        Pt t;
-        pt_add(t, buckets[idx], addend);
-        buckets[idx] = t;
-      }
-    }
-    // Descending running sum: sum_b (b+1) * bucket[b].
-    Pt m, g;
-    pt_identity(m);
-    pt_identity(g);
-    for (std::size_t b = nb; b-- > 0;) {
-      if (used[b]) {
-        Pt t;
-        pt_add(t, m, buckets[b]);
-        m = t;
-      }
-      Pt t;
-      pt_add(t, g, m);
-      g = t;
-    }
-    window_sums[w] = g;
-  }
-
-  // Horner over windows.
-  Pt acc = window_sums[num_windows - 1];
-  for (int w = num_windows - 2; w >= 0; --w) {
+static void horner_windows(Pt &out, const std::vector<Pt> &window_sums, int c) {
+  Pt acc = window_sums.back();
+  for (int w = (int)window_sums.size() - 2; w >= 0; --w) {
     for (int b = 0; b < c; ++b) {
       Pt t;
       pt_double(t, acc);
@@ -361,6 +296,17 @@ static void msm_pippenger(Pt &out, const Pt *points, const u64 *scalars,
     acc = t;
   }
   out = acc;
+}
+
+static void msm_pippenger(Pt &out, const Pt *points, const u64 *scalars,
+                          std::size_t n, int c) {
+  const int num_windows = (256 + c - 1) / c;
+  std::vector<std::vector<int>> digits(n);
+  decompose_digits(digits, scalars, n, c);
+  std::vector<Pt> window_sums(num_windows);
+  for (int w = 0; w < num_windows; ++w)
+    window_bucket_sum(window_sums[w], points, digits, n, c, w);
+  horner_windows(out, window_sums, c);
 }
 
 
@@ -451,47 +397,13 @@ static void msm_pippenger_parallel(Pt &out, const Pt *points,
   std::vector<std::thread> threads;
   for (int t = 0; t < nthreads && t < num_windows; ++t) threads.emplace_back(worker);
   for (auto &t : threads) t.join();
-  Pt acc = window_sums[num_windows - 1];
-  for (int w = num_windows - 2; w >= 0; --w) {
-    for (int b = 0; b < c; ++b) {
-      Pt t;
-      pt_double(t, acc);
-      acc = t;
-    }
-    Pt t;
-    pt_add(t, acc, window_sums[w]);
-    acc = t;
-  }
-  out = acc;
+  horner_windows(out, window_sums, c);
 }
 
-}  // namespace
-
-// ---------------------------------------------------------------------------
-// C ABI.  All bigints cross the boundary as 4x64-bit LE raw (non-Montgomery)
-// limbs.
-// ---------------------------------------------------------------------------
-
-extern "C" {
-
-// points: n * 2 * 4 u64 (affine x, y); scalars: n * 4 u64.
-// out: 2 * 4 u64 (affine x, y of the MSM result).
-void oracle_msm(const u64 *points, const u64 *scalars, std::size_t n, int c,
-                u64 *out) {
-  std::vector<Pt> pts(n);
-  for (std::size_t i = 0; i < n; ++i) {
-    fp_from_raw(pts[i].x, points + i * 8);
-    fp_from_raw(pts[i].y, points + i * 8 + 4);
-    fp_mul(pts[i].t, pts[i].x, pts[i].y);
-    pts[i].z = FP_ONE_MONT;
-  }
-  Pt r;
-  msm_pippenger(r, pts.data(), scalars, n, c);
-  // Affine: x/z, y/z via Fermat inverse z^(p-2).
-  // Compute z^(p-2) by square-and-multiply over the raw exponent p-2.
+static void pt_write_affine(u64 *out, const Pt &r) {
+  // Affine: x/z, y/z with z^(p-2) (Fermat).
   u64 e[4];
   std::memcpy(e, P_LIMBS, sizeof e);
-  // e = p - 2
   if (e[0] >= 2) {
     e[0] -= 2;
   } else {
@@ -517,6 +429,31 @@ void oracle_msm(const u64 *points, const u64 *scalars, std::size_t n, int c,
   fp_mul(ay, r.y, zinv);
   fp_to_raw(out, ax);
   fp_to_raw(out + 4, ay);
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI.  All bigints cross the boundary as 4x64-bit LE raw (non-Montgomery)
+// limbs.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// points: n * 2 * 4 u64 (affine x, y); scalars: n * 4 u64.
+// out: 2 * 4 u64 (affine x, y of the MSM result).
+void oracle_msm(const u64 *points, const u64 *scalars, std::size_t n, int c,
+                u64 *out) {
+  std::vector<Pt> pts(n);
+  for (std::size_t i = 0; i < n; ++i) {
+    fp_from_raw(pts[i].x, points + i * 8);
+    fp_from_raw(pts[i].y, points + i * 8 + 4);
+    fp_mul(pts[i].t, pts[i].x, pts[i].y);
+    pts[i].z = FP_ONE_MONT;
+  }
+  Pt r;
+  msm_pippenger(r, pts.data(), scalars, n, c);
+  pt_write_affine(out, r);
 }
 
 // Parallel variant of oracle_msm: one thread per scalar window.
@@ -531,33 +468,7 @@ void oracle_msm_parallel(const u64 *points, const u64 *scalars, std::size_t n,
   }
   Pt r;
   msm_pippenger_parallel(r, pts.data(), scalars, n, c, nthreads);
-  u64 e[4];
-  std::memcpy(e, P_LIMBS, sizeof e);
-  if (e[0] >= 2) {
-    e[0] -= 2;
-  } else {
-    u64 two[4] = {2, 0, 0, 0};
-    sub256(e, P_LIMBS, two);
-  }
-  Fp zinv = FP_ONE_MONT;
-  Fp base = r.z;
-  for (int limb = 0; limb < 4; ++limb) {
-    for (int b = 0; b < 64; ++b) {
-      if ((e[limb] >> b) & 1) {
-        Fp t;
-        fp_mul(t, zinv, base);
-        zinv = t;
-      }
-      Fp t2;
-      fp_mul(t2, base, base);
-      base = t2;
-    }
-  }
-  Fp ax, ay;
-  fp_mul(ax, r.x, zinv);
-  fp_mul(ay, r.y, zinv);
-  fp_to_raw(out, ax);
-  fp_to_raw(out + 4, ay);
+  pt_write_affine(out, r);
 }
 
 // Deterministic fixture generation: an additive walk P_i = S + i*D from two

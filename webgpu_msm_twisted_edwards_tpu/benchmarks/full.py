@@ -34,6 +34,11 @@ def _inputs_for_power(p: int, seed: int = 20230923):
             for jw in range(8):
                 sc[i, jw] = (s >> (32 * jw)) & 0xFFFFFFFF
         return coords, sc, tc.expected, "fixture"
+    if not oracle.available():
+        raise RuntimeError(
+            f"no fixture for 2^{p} and the native oracle is not built "
+            "(make -C cpp); cannot generate inputs"
+        )
     n = 1 << p
     pts_u64 = oracle.gen_points(n, seed=seed)
     rng = np.random.default_rng(42)
@@ -41,7 +46,7 @@ def _inputs_for_power(p: int, seed: int = 20230923):
     sc_u64[:, 3] &= (1 << 58) - 1
     coords = pts_u64.view(np.uint32).reshape(n, 2, 8)
     scalars = sc_u64.view(np.uint32).reshape(n, 8)
-    expected = oracle.msm(pts_u64, sc_u64, c=16) if oracle.available() else None
+    expected = oracle.msm(pts_u64, sc_u64, c=16)
     return coords, scalars, expected, "native walk"
 
 

@@ -24,7 +24,7 @@ from functools import partial
 
 import numpy as np
 
-from ..utils.params import PARAMS, MsmConfig, compute_field_params
+from ..utils.params import PARAMS, MsmConfig
 from .timing import Table, median, time_device
 
 
@@ -254,7 +254,6 @@ def dashboard(power: int = 16, runs: int = 1) -> Table:
 
     coords, scalars, expected, src = _inputs_for_power(power)
     t = Table(["function", "time (ms)", "correct"])
-    pts_list = None
     for name, fn in ALL_MSM_FUNCTIONS.items():
         if "naive" in name and power > 14:
             t.add(name, "skipped (naive path is O(256 n) on-device)", "-")

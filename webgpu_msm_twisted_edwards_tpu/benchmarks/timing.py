@@ -25,7 +25,7 @@ def force(out):
     return jax.device_get(leaf[tuple([slice(0, 1)] * leaf.ndim)])
 
 
-def time_device(fn, *args, runs: int = 5, warmup: bool = True):
+def time_device(fn, *args, runs: int = 5):
     """Returns (compile_ms, [run_ms...]).  First call includes XLA compile —
     the analogue of the reference's forced-recompile first run."""
     t0 = time.time()

@@ -173,7 +173,12 @@ def compute_msm(
     n = coords.shape[0]
     cfg = default_msm_config(n) if chunk_size is None else MsmConfig(chunk_size=chunk_size)
     if use_pallas is None:
-        use_pallas = cfg.chunk_size == 16 and n >= 512
+        # The Pallas kernels compile only for TPU (interpreter mode elsewhere
+        # is orders of magnitude slower than the XLA path) — auto-select only
+        # when actually on TPU hardware.
+        use_pallas = (
+            jax.default_backend() == "tpu" and cfg.chunk_size == 16 and n >= 512
+        )
     if use_pallas:
         # Pad to a multiple of 4096 (>= 4096) with zero scalars: zero digits
         # sort to the sentinel tail and contribute nothing.

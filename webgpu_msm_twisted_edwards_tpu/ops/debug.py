@@ -13,14 +13,13 @@ first stage whose device output disagrees with the python mirror.
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 
 from ..cpu.curve import ExtPoint
-from ..cpu.mirrors import bucket_accumulation_signed, decompose_scalars_signed, horner
+from ..cpu.mirrors import bucket_accumulation_signed, decompose_scalars_signed
 from ..utils.params import PARAMS, MsmConfig
-from .msm_pipeline import TW, K as FRAG_K
+from .pallas.common import LP
+from .msm_pipeline import TW
 
 
 def _unpack_row(row: np.ndarray) -> ExtPoint:
@@ -64,9 +63,8 @@ def validate_pipeline(points, scalars, chunk_size: int = 16,
         if x is None:
             break
         row = table[i]
-        lp = TW // 4 if False else (PARAMS.num_words + 1) // 2
         xm = 0
-        for j in range(lp):
+        for j in range(LP):
             xm |= (int(row[j]) & 0xFFFF) << (2 * j * PARAMS.word_size)
             xm |= (int(row[j]) >> 16) << ((2 * j + 1) * PARAMS.word_size)
         assert xm % PARAMS.p == PARAMS.to_mont(x), f"stage 1 convert mismatch at {i}"

@@ -29,8 +29,8 @@ from .scan import TW, _interpret_default
 CHUNK = 64
 
 
-def _bpr_stage1_kernel(lblk, consts_ref, b_ref, m_ref, g_ref):
-    """b_ref: [lblk, CHUNK, TW] bucket rows (ascending bucket order inside the
+def _bpr_stage1_kernel(lblk, chunk, consts_ref, b_ref, m_ref, g_ref):
+    """b_ref: [lblk, chunk, TW] bucket rows (ascending bucket order inside the
     chunk).  Scans descending: m += S_j; g += m.  Outputs packed m, g
     [lblk, TW]."""
     c = load_consts(consts_ref)
@@ -39,38 +39,38 @@ def _bpr_stage1_kernel(lblk, consts_ref, b_ref, m_ref, g_ref):
 
     def body(i, state):
         m, g = state
-        j = CHUNK - 1 - i
+        j = chunk - 1 - i
         s = pt_unpack(jnp.transpose(b_ref[:, j, :]))
         m = full_add(m, s, c)
         g = full_add(g, m, c)
         return m, g
 
-    m, g = jax.lax.fori_loop(0, CHUNK, body, (ident, ident))
+    m, g = jax.lax.fori_loop(0, chunk, body, (ident, ident))
     m_ref[:, :] = jnp.transpose(jnp.concatenate([pt_pack(m), pad], axis=0))
     g_ref[:, :] = jnp.transpose(jnp.concatenate([pt_pack(g), pad], axis=0))
 
 
-def bpr_stage1(buckets: jnp.ndarray, interpret: bool | None = None):
+def bpr_stage1(buckets: jnp.ndarray, chunk: int = CHUNK, interpret: bool | None = None):
     """buckets: [W*NB, TW] packed rows, bucket-major per window.  Returns
-    (m, g): each [W*NB/CHUNK, TW]."""
+    (m, g): each [W*NB/chunk, TW]."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n = buckets.shape[0]
-    nc = n // CHUNK
-    assert nc * CHUNK == n
+    nc = n // chunk
+    assert nc * chunk == n
     lblk = 128
     while nc % lblk != 0:
         lblk //= 2
     grid = (nc // lblk,)
     consts = jnp.asarray(make_consts_array())
-    kern = partial(_bpr_stage1_kernel, lblk)
+    kern = partial(_bpr_stage1_kernel, lblk, chunk)
     m, g = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
             pl.BlockSpec((L, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((lblk, CHUNK, TW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lblk, chunk, TW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((lblk, TW), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -82,12 +82,12 @@ def bpr_stage1(buckets: jnp.ndarray, interpret: bool | None = None):
         ],
         interpret=_interpret_default(interpret),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(consts, buckets.reshape(nc, CHUNK, TW))
+    )(consts, buckets.reshape(nc, chunk, TW))
     return m, g
 
 
-def _bpr_stage2_kernel(lblk, chunks_per_window, num_bits, consts_ref, m_ref, g_ref, o_ref):
-    """g += m * (local_chunk_index * CHUNK), double-and-add MSB-first.
+def _bpr_stage2_kernel(lblk, chunks_per_window, chunk, num_bits, consts_ref, m_ref, g_ref, o_ref):
+    """g += m * (local_chunk_index * chunk), double-and-add MSB-first.
     m_ref/g_ref/o_ref: [lblk, TW]; lanes are chunk-major (window-major order,
     chunks_per_window per window)."""
     c = load_consts(consts_ref)
@@ -98,7 +98,7 @@ def _bpr_stage2_kernel(lblk, chunks_per_window, num_bits, consts_ref, m_ref, g_r
 
     blk = pl.program_id(0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, lblk), 1) + blk * lblk
-    kfac = (lane % chunks_per_window) * CHUNK                     # [1, lblk]
+    kfac = (lane % chunks_per_window) * chunk                     # [1, lblk]
 
     def body(i, acc):
         bit = num_bits - 1 - i
@@ -113,7 +113,7 @@ def _bpr_stage2_kernel(lblk, chunks_per_window, num_bits, consts_ref, m_ref, g_r
 
 
 def bpr_stage2(m: jnp.ndarray, g: jnp.ndarray, chunks_per_window: int,
-               interpret: bool | None = None) -> jnp.ndarray:
+               chunk: int = CHUNK, interpret: bool | None = None) -> jnp.ndarray:
     """Returns g' [NC, TW] with the chunk-offset fix applied."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -123,9 +123,9 @@ def bpr_stage2(m: jnp.ndarray, g: jnp.ndarray, chunks_per_window: int,
     while nc % lblk != 0:
         lblk //= 2
     grid = (nc // lblk,)
-    num_bits = max(1, int((chunks_per_window - 1) * CHUNK).bit_length())
+    num_bits = max(1, int((chunks_per_window - 1) * chunk).bit_length())
     consts = jnp.asarray(make_consts_array())
-    kern = partial(_bpr_stage2_kernel, lblk, chunks_per_window, num_bits)
+    kern = partial(_bpr_stage2_kernel, lblk, chunks_per_window, chunk, num_bits)
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -164,7 +164,9 @@ def bpr(buckets: jnp.ndarray, num_windows: int, interpret: bool | None = None) -
     """[W*NB, TW] packed bucket rows -> [W, TW] packed window sums, where
     bucket b (0-based within a window) has weight b+1."""
     nb = buckets.shape[0] // num_windows
-    m, g = bpr_stage1(buckets, interpret=interpret)
-    chunks_per_window = nb // CHUNK
-    g2 = bpr_stage2(m, g, chunks_per_window, interpret=interpret)
+    chunk = min(CHUNK, nb)  # chunks must never span windows (nb can be < CHUNK for small c)
+    assert nb % chunk == 0, (nb, chunk)
+    m, g = bpr_stage1(buckets, chunk=chunk, interpret=interpret)
+    chunks_per_window = nb // chunk
+    g2 = bpr_stage2(m, g, chunks_per_window, chunk=chunk, interpret=interpret)
     return reduce_rows_per_window(g2, chunks_per_window, interpret=interpret)

@@ -35,6 +35,13 @@ U32 = jnp.uint32
 LP = (L + 1) // 2
 
 
+def interpret_default(interpret):
+    """Kernel-mode default: compiled on TPU, interpreter elsewhere."""
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
 def int_to_limbs(v: int) -> np.ndarray:
     return np.array([(v >> (i * W)) & PARAMS.mask for i in range(L)], dtype=np.uint32)
 
@@ -49,7 +56,7 @@ def _q4_limbs() -> np.ndarray:
     the lazy subtraction a - b ≡ a + (4p - b)  (valid for b < 3p; the top
     limb is checked against that bound)."""
     v = 4 * PARAMS.p
-    q = [(v >> (i * W)) & ((1 << 32) - 1) if False else (v >> (i * W)) & PARAMS.mask for i in range(L)]
+    q = [(v >> (i * W)) & PARAMS.mask for i in range(L)]
     for i in range(L - 1):
         q[i] += 1 << W
         q[i + 1] -= 1

@@ -26,6 +26,7 @@ from .common import (
     L,
     LP,
     Consts,
+    interpret_default,
     add_many,
     fr_add_lazy,
     fr_neg_lazy,
@@ -143,7 +144,7 @@ def masked_add_rows(a_rows: jnp.ndarray, b_rows: jnp.ndarray, mask: jnp.ndarray,
     grid = (n // lblk,)
     consts = jnp.asarray(make_consts_array())
     mask2 = mask.astype(jnp.int32).reshape(1, n)
-    interp = jax.default_backend() != "tpu" if interpret is None else interpret
+    interp = interpret_default(interpret)
     kern = lambda *refs: _masked_add_kernel(lblk, *refs)
     return pl.pallas_call(
         kern,

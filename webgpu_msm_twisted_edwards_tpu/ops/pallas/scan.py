@@ -41,10 +41,7 @@ TW = 64
 TWR = 128
 
 
-def _interpret_default(interpret):
-    if interpret is None:
-        return jax.default_backend() != "tpu"
-    return interpret
+from .common import interpret_default as _interpret_default  # noqa: E402
 
 
 # ---------------------------------------------------------------------------

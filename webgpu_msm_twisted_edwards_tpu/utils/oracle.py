@@ -93,21 +93,7 @@ def msm(points: list[tuple[int, int]] | np.ndarray, scalars: list[int] | np.ndar
     `points` may be a list of (x, y) ints or an [n, 8] uint64 array;
     `scalars` a list of ints or an [n, 4] uint64 array.
     """
-    if isinstance(points, np.ndarray):
-        pbuf = np.ascontiguousarray(points, dtype=np.uint64).reshape(-1)
-        n = points.shape[0]
-    else:
-        n = len(points)
-        pbuf = np.empty(n * 8, dtype=np.uint64)
-        for i, (x, y) in enumerate(points):
-            pbuf[i * 8 : i * 8 + 4] = _int_to_u64x4(x)
-            pbuf[i * 8 + 4 : i * 8 + 8] = _int_to_u64x4(y)
-    if isinstance(scalars, np.ndarray):
-        sbuf = np.ascontiguousarray(scalars, dtype=np.uint64).reshape(-1)
-    else:
-        sbuf = np.empty(n * 4, dtype=np.uint64)
-        for i, s in enumerate(scalars):
-            sbuf[i * 4 : i * 4 + 4] = _int_to_u64x4(s)
+    pbuf, sbuf, n = _pack_inputs(points, scalars)
     out = np.zeros(8, dtype=np.uint64)
     _lib().oracle_msm(_ptr(pbuf), _ptr(sbuf), n, c, _ptr(out))
     return _u64x4_to_int(out[:4]), _u64x4_to_int(out[4:])
