@@ -76,7 +76,12 @@ def main():
     dev = jax.devices()[0]
     log(f"backend: {jax.default_backend()} device: {dev}", jo)
 
-    cfg = default_msm_config(n) if args.chunk_size is None else MsmConfig(chunk_size=args.chunk_size)
+    if args.chunk_size is not None:
+        cfg = MsmConfig(chunk_size=args.chunk_size)
+    elif n >= 4096:
+        cfg = MsmConfig(chunk_size=16)   # Pallas path wins from 4096 up
+    else:
+        cfg = default_msm_config(n)
 
     # Device-resident inputs: points are fixed bases in production proving (an
     # SRS), so like the reference we write them to the device once and time
@@ -138,6 +143,8 @@ def main():
         "vs_baseline": round(baseline / med, 3),
         "compile_ms": round(compile_ms, 1),
         "runs_ms": [round(t, 1) for t in times],
+        "msm_per_sec": round(1000.0 / med, 3),
+        "points_per_sec": round(n / (med / 1000.0)),
         "backend": jax.default_backend(),
         "correct": ok,
     }

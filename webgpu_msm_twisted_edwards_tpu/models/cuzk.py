@@ -171,7 +171,17 @@ def compute_msm(
         _jitted_pallas_pipeline.cache_clear()
     coords, sc = prepare_inputs(points, scalars)
     n = coords.shape[0]
-    cfg = default_msm_config(n) if chunk_size is None else MsmConfig(chunk_size=chunk_size)
+    if chunk_size is None:
+        # Window sizing: the reference drops to c=4 below 2^16
+        # (submission.ts:79-83); on TPU the Pallas pipeline's fixed costs are
+        # small enough that c=16 wins from n >= 4096 (136 ms vs 640 ms at
+        # n=4096 measured on v5e).
+        if jax.default_backend() == "tpu" and n >= 4096:
+            cfg = MsmConfig(chunk_size=16)
+        else:
+            cfg = default_msm_config(n)
+    else:
+        cfg = MsmConfig(chunk_size=chunk_size)
     if use_pallas is None:
         # The Pallas kernels compile only for TPU (interpreter mode elsewhere
         # is orders of magnitude slower than the XLA path) — auto-select only
