@@ -91,3 +91,27 @@ def test_pallas_pipeline_small_interpret():
     for p, s in zip(pts, scalars):
         want = want.add(p.mul(s))
     assert total.to_affine() == want.to_affine()
+
+
+def test_bpr_kernels_interpret():
+    """BPR stage-1/stage-2/fold vs the CPU running-sum mirror at a tiny size
+    (reference mirror: miscellaneous/bpr.ts)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from webgpu_msm_twisted_edwards_tpu.cpu.curve import ExtPoint
+    from webgpu_msm_twisted_edwards_tpu.ops.pallas.bpr import bpr
+
+    w, nb = 2, 8
+    pts, _ = random_points_scalars(w * nb, seed=13)
+    rows = np.stack([pack_point_row(p) for p in pts])
+    out = bpr(jnp.asarray(rows), num_windows=w, interpret=True)
+    got = packed_rows_to_extpoints(np.asarray(out))
+    for wi in range(w):
+        want = ExtPoint(0, 1, 0, 1)
+        m = ExtPoint(0, 1, 0, 1)
+        bkts = pts[wi * nb:(wi + 1) * nb]
+        for b in range(nb - 1, -1, -1):
+            m = m.add(bkts[b])
+            want = want.add(m)
+        assert got[wi].to_affine() == want.to_affine(), wi

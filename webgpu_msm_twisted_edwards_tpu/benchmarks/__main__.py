@@ -23,6 +23,9 @@ def main(argv=None):
     p_dash = sub.add_parser("dashboard", help="race all MSM implementations (UI parity)")
     p_dash.add_argument("--power", type=int, default=16)
 
+    p_scale = sub.add_parser("scaling", help="multi-chip scaling sweep")
+    p_scale.add_argument("--power", type=int, default=18)
+
     for name in ("mont", "barrett", "barrett-domb", "convert", "decompose",
                  "data-transfer", "add-points", "scalar-mul", "bucket-reduction"):
         sub.add_parser(name, help=f"micro-benchmark: {name}")
@@ -35,6 +38,10 @@ def main(argv=None):
         table = full.run(powers=tuple(args.powers), runs=args.runs, csv_path=args.csv)
     elif args.cmd == "dashboard":
         table = micro.dashboard(power=args.power)
+    elif args.cmd == "scaling":
+        from . import scaling
+
+        table = scaling.run(log2n=args.power)
     else:
         fn = {
             "mont": micro.mont_mul,

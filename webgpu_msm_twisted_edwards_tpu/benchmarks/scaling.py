@@ -1,0 +1,71 @@
+"""Multi-chip scaling benchmark: MSM throughput vs mesh size.
+
+The reference has no multi-device story (README.md:551 lists it as future
+work); this measures the new first-class capability (SURVEY.md §2.5): shard
+the point axis over a `jax.sharding.Mesh`, run the full per-shard pipeline,
+fold the [W, TW] window sums over ICI.  Scaling efficiency at k chips is
+t(1) / (k * t(k)).
+
+On a single-chip rig this degenerates to k=1 (the harness still runs); on a
+pod slice it sweeps 1, 2, 4, ... chips.  On CPU it exercises the virtual
+device mesh with the XLA pipeline (structure test, not a perf number).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import numpy as np
+
+from ..utils.params import MsmConfig
+from .timing import Table, median
+
+
+def run(log2n: int = 18, runs: int = 3) -> Table:
+    import jax
+    import jax.numpy as jnp
+
+    from ..parallel import sharded
+    from ..utils import oracle
+
+    n = 1 << log2n
+    pts_u64 = oracle.gen_points(n, seed=20230923)
+    rng = np.random.default_rng(42)
+    sc_u64 = rng.integers(0, 1 << 62, size=(n, 4), dtype=np.uint64)
+    sc_u64[:, 3] &= (1 << 58) - 1
+    coords = jax.device_put(jnp.asarray(pts_u64.view(np.uint32).reshape(n, 2, 8)))
+    scalars = jax.device_put(jnp.asarray(sc_u64.view(np.uint32).reshape(n, 8)))
+    cfg = MsmConfig(chunk_size=16)
+    on_tpu = jax.default_backend() == "tpu"
+
+    ndev = jax.device_count()
+    sizes = [k for k in (1, 2, 4, 8, 16, 32) if k <= ndev]
+    t1 = None
+    table = Table(["chips", "median (ms)", "speedup", "efficiency"])
+    for k in sizes:
+        mesh = sharded.default_mesh(k)
+        if on_tpu:
+            fn = jax.jit(partial(
+                sharded.sharded_window_sums_pallas, mesh=mesh, cfg=cfg,
+                axis_name=mesh.axis_names[0],
+            ))
+        else:
+            fn = jax.jit(partial(
+                sharded.sharded_window_sums, mesh=mesh, cfg=cfg,
+                axis_name=mesh.axis_names[0],
+            ))
+        out = fn(coords, scalars)
+        _ = jax.device_get(jax.tree_util.tree_leaves(out)[0][:1])
+        ts = []
+        for _i in range(runs):
+            t0 = time.time()
+            out = fn(coords, scalars)
+            _ = jax.device_get(jax.tree_util.tree_leaves(out)[0][:1])
+            ts.append((time.time() - t0) * 1e3)
+        m = median(ts)
+        if t1 is None:
+            t1 = m
+        table.add(k, round(m, 1), round(t1 / m, 2), round(t1 / (k * m), 3))
+        print(table.markdown().splitlines()[-1], flush=True)
+    return table
