@@ -27,7 +27,8 @@ def main(argv=None):
     p_scale.add_argument("--power", type=int, default=18)
 
     for name in ("mont", "barrett", "barrett-domb", "convert", "decompose",
-                 "data-transfer", "add-points", "scalar-mul", "bucket-reduction"):
+                 "data-transfer", "add-points", "scalar-mul", "bucket-reduction",
+                 "horners-rule"):
         sub.add_parser(name, help=f"micro-benchmark: {name}")
 
     args = ap.parse_args(argv)
@@ -53,6 +54,7 @@ def main(argv=None):
             "add-points": micro.add_points,
             "scalar-mul": micro.scalar_mul,
             "bucket-reduction": micro.bucket_reduction,
+            "horners-rule": micro.horners_rule,
         }[args.cmd]
         table = fn()
     print()

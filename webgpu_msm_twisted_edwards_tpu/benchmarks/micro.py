@@ -144,11 +144,18 @@ def data_transfer(mb: int = 64, runs: int = 3) -> Table:
         ts.append((time.time() - t0) * 1e3)
     m = median(ts)
     t.add("host->device", mb, round(m, 1), round(mb / 1024 / (m / 1e3), 2))
+    # Read back a *computed* array — a fresh one per run, since both the
+    # runtime's retained host buffers and any client-side caching would
+    # otherwise make the copy free.
+    import jax.numpy as jnp
+
     ts = []
-    for _ in range(runs):
+    for i in range(runs):
+        computed = dev + jnp.uint32(i + 1)
         t0 = time.time()
-        _ = np.asarray(dev)
+        arr = np.asarray(computed)
         ts.append((time.time() - t0) * 1e3)
+        assert arr[0] == i + 1
     m = median(ts)
     t.add("device->host", mb, round(m, 1), round(mb / 1024 / (m / 1e3), 2))
     return t
@@ -266,4 +273,62 @@ def dashboard(power: int = 16, runs: int = 1) -> Table:
             ok = "✓" if (res["x"], res["y"]) == tuple(expected) else "✗"
         t.add(name, round(ms, 1), ok)
         print(t.markdown().splitlines()[-1], flush=True)
+    return t
+
+
+def horners_rule(runs: int = 3) -> Table:
+    """Horner aggregation of the 16 window sums: device (XLA curve ops) vs
+    host (python bigints).  The reference benchmarked a GPU Horner shader and
+    rejected it — the CPU is faster for this tiny sequential tail
+    (reference: horners_rule_benchmark.ts and README.md:269-275); the same
+    conclusion holds here."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..cpu.curve import GENERATOR, ExtPoint
+    from ..cpu.mirrors import horner as host_horner
+    from ..models import cuzk
+    from ..ops import convert as CVx
+    from ..ops import curve as C
+    from ..ops import field as F
+
+    w, c = 16, 16
+    pts = []
+    g = GENERATOR
+    for i in range(w):
+        pts.append(g)
+        g = g.add(GENERATOR)
+    coords = np.zeros((w, 2, 8), dtype=np.uint32)
+    for i, p in enumerate(pts):
+        x, y = p.to_affine()
+        for jw in range(8):
+            coords[i, 0, jw] = (x >> (32 * jw)) & 0xFFFFFFFF
+            coords[i, 1, jw] = (y >> (32 * jw)) & 0xFFFFFFFF
+
+    @jax.jit
+    def device_horner(coords_u32):
+        xm, ym, tm = CVx.points_to_mont_limbs(coords_u32, PARAMS)
+        z = jnp.broadcast_to(F.r_limbs(PARAMS), xm.shape)
+        p = C.PointXYTZ(xm, ym, tm, z)
+
+        def body(i, acc):
+            idx = w - 2 - i
+            win = C.PointXYTZ(*(jnp.take(a, idx, axis=0)[None] for a in (p.x, p.y, p.t, p.z)))
+            for _ in range(c):
+                acc = C.double(acc, PARAMS)
+            return C.add(acc, win, PARAMS)
+
+        acc = C.PointXYTZ(*(a[w - 1:w] for a in (p.x, p.y, p.t, p.z)))
+        return jax.lax.fori_loop(0, w - 1, body, acc)
+
+    comp, ts = time_device(device_horner, jnp.asarray(coords), runs=runs)
+    t = Table(["impl", "compile (ms)", "median (ms)"])
+    t.add("device (XLA, 15x(16 dbl + add))", round(comp), round(median(ts), 2))
+
+    hts = []
+    for _ in range(runs):
+        t0 = time.time()
+        host_horner(pts, c)
+        hts.append((time.time() - t0) * 1e3)
+    t.add("host (python bigint)", 0, round(median(hts), 3))
     return t
