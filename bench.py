@@ -71,7 +71,7 @@ def main():
 
     from webgpu_msm_twisted_edwards_tpu.models import cuzk
     from webgpu_msm_twisted_edwards_tpu.ops import msm_pipeline as MP
-    from webgpu_msm_twisted_edwards_tpu.utils.params import MsmConfig, default_msm_config
+    from webgpu_msm_twisted_edwards_tpu.utils.params import MsmConfig, default_msm_config, tpu_msm_config
 
     dev = jax.devices()[0]
     log(f"backend: {jax.default_backend()} device: {dev}", jo)
@@ -79,7 +79,7 @@ def main():
     if args.chunk_size is not None:
         cfg = MsmConfig(chunk_size=args.chunk_size)
     elif n >= 4096:
-        cfg = MsmConfig(chunk_size=16)   # Pallas path wins from 4096 up
+        cfg = tpu_msm_config(n)          # Pallas path wins from 4096 up
     else:
         cfg = default_msm_config(n)
 
@@ -92,7 +92,7 @@ def main():
 
     dcoords = jax.device_put(jnp.asarray(coords))
     dscalars = jax.device_put(jnp.asarray(scalars))
-    use_pallas = cfg.chunk_size == 16 and n >= 4096
+    use_pallas = cfg.chunk_size >= 8 and n >= 4096
     if use_pallas:
         fn = jax.jit(partial(MP.msm_window_sums, cfg=cfg, interpret=False))
 

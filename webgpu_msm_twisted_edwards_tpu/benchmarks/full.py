@@ -16,7 +16,7 @@ import time
 import numpy as np
 
 from ..utils import oracle, test_data
-from ..utils.params import MsmConfig
+from ..utils.params import MsmConfig, tpu_msm_config
 from .timing import Table, median
 
 
@@ -65,7 +65,7 @@ def run(powers=(16, 17, 18, 19, 20), runs: int = 5, csv_path: str | None = None,
     for p in powers:
         coords, scalars, expected, src = _inputs_for_power(p)
         n = coords.shape[0]
-        cfg = MsmConfig(chunk_size=16)
+        cfg = tpu_msm_config(n)
         dcoords = jax.device_put(jnp.asarray(coords))
         dscalars = jax.device_put(jnp.asarray(scalars))
         fn = jax.jit(partial(MP.msm_window_sums, cfg=cfg))

@@ -31,7 +31,7 @@ from ..ops import buckets as B
 from ..ops import convert as CV
 from ..ops import curve as C
 from ..utils import limbs as L
-from ..utils.params import PARAMS, MsmConfig, default_msm_config
+from ..utils.params import PARAMS, MsmConfig, default_msm_config, tpu_msm_config
 
 
 def msm_window_sums_device(
@@ -173,11 +173,11 @@ def compute_msm(
     n = coords.shape[0]
     if chunk_size is None:
         # Window sizing: the reference drops to c=4 below 2^16
-        # (submission.ts:79-83); on TPU the Pallas pipeline's fixed costs are
-        # small enough that c=16 wins from n >= 4096 (136 ms vs 640 ms at
-        # n=4096 measured on v5e).
+        # (submission.ts:79-83); on TPU the Pallas pipeline makes wide
+        # windows profitable from n >= 4096, with the c=13/c=16 split
+        # measured in utils.params.tpu_msm_config.
         if jax.default_backend() == "tpu" and n >= 4096:
-            cfg = MsmConfig(chunk_size=16)
+            cfg = tpu_msm_config(n)
         else:
             cfg = default_msm_config(n)
     else:
@@ -187,7 +187,7 @@ def compute_msm(
         # is orders of magnitude slower than the XLA path) — auto-select only
         # when actually on TPU hardware.
         use_pallas = (
-            jax.default_backend() == "tpu" and cfg.chunk_size == 16 and n >= 512
+            jax.default_backend() == "tpu" and cfg.chunk_size >= 8 and n >= 512
         )
     if use_pallas:
         # Pad to a multiple of 4096 (>= 4096) with zero scalars: zero digits

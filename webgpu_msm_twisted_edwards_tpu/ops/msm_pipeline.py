@@ -94,20 +94,36 @@ def window_group_bucket_sums(
     pidx = idxs_s & np.int32(0x7FFFFFFF)
     sgn = (idxs_s < 0).astype(jnp.int32)
 
-    # One bulk gather into sorted order.
-    rows = table[pidx.reshape(-1)]                                   # [Wg*n, TWR]
-    nf = (wg * n) // K
+    # One bulk gather into sorted order.  The flattened entry count is padded
+    # with sentinel entries (appended after all real windows — their carries
+    # and scan values are never extracted) so the fragment count is a
+    # multiple of 128 (Mosaic's lane-dim block rule).
+    wofs = (jnp.arange(wg, dtype=jnp.int32) * (nb + 2))[:, None]
+    gkeys = keys_s + wofs
+    flat_keys = keys_s.reshape(-1)
+    flat_gkeys = gkeys.reshape(-1)
+    flat_sgn = sgn.reshape(-1)
+    flat_pidx = pidx.reshape(-1)
+    total = wg * n
+    nf = -(-(total // K) // 128) * 128
+    pad_e = nf * K - total
+    if pad_e:
+        flat_keys = jnp.concatenate([flat_keys, jnp.full((pad_e,), nb, jnp.int32)])
+        flat_gkeys = jnp.concatenate(
+            [flat_gkeys, jnp.full((pad_e,), (wg - 1) * (nb + 2) + nb, jnp.int32)]
+        )
+        flat_sgn = jnp.concatenate([flat_sgn, jnp.zeros((pad_e,), jnp.int32)])
+        flat_pidx = jnp.concatenate([flat_pidx, jnp.zeros((pad_e,), jnp.int32)])
+
+    rows = table[flat_pidx]                                          # [NF*K, TWR]
     rows = rows.reshape(nf, K, PS.TWR)
-    keys_flat = keys_s.reshape(nf, K)
-    keys_t = keys_flat.T                                             # [K, NF]
-    sgn_t = sgn.reshape(nf, K).T
+    keys_t = flat_keys.reshape(nf, K).T                              # [K, NF]
+    sgn_t = flat_sgn.reshape(nf, K).T
 
     t_scan = PS.msm_scan(rows, keys_t, sgn_t, interpret=interpret)   # [NF, K, TW]
 
     # Cross-fragment carries.  Global keys make runs never span windows.
-    wofs = (jnp.arange(wg, dtype=jnp.int32) * (nb + 2))[:, None]
-    gkeys = keys_s + wofs
-    gk_frag = gkeys.reshape(nf, K)
+    gk_frag = flat_gkeys.reshape(nf, K)
     fk = gk_frag[:, 0]
     lk = gk_frag[:, -1]
     fk_next = jnp.concatenate([fk[1:], jnp.full((1,), -7, jnp.int32)])
@@ -123,7 +139,7 @@ def window_group_bucket_sums(
     ends = starts + counts - 1                                       # [Wg, NB]
     ends_c = jnp.clip(ends, 0, n - 1)
     flat_end = (jnp.arange(wg, dtype=jnp.int32)[:, None] * n + ends_c).reshape(-1)
-    t2d = t_scan.reshape(wg * n, TW)
+    t2d = t_scan.reshape(nf * K, TW)
     tval = t2d[flat_end]                                             # [Wg*NB, TW]
 
     frag = ends_c // K                                               # fragment within window? -> global
@@ -148,13 +164,15 @@ def msm_window_sums(
 ) -> jnp.ndarray:
     """Full device pipeline: [n,2,8], [n,8] -> [W, TW] packed window sums.
 
-    window_group = 0 chooses a memory-bounded default (all 16 windows at once
-    up to n=2^18 [~2 GB of staging], 8 up to 2^20 [~4.5 GB], 4 beyond)."""
+    window_group = 0 chooses a memory-bounded default: the largest divisor of
+    num_windows whose staging (gather output + scan output, ~wg*n*768 B)
+    stays within ~4.5 GB."""
     n = coords_u32.shape[0]
     w = cfg.num_windows
     nb = cfg.num_buckets
     if window_group == 0:
-        window_group = w if n <= (1 << 18) else (8 if n <= (1 << 20) else 4)
+        cap = w if n <= (1 << 18) else (8 if n <= (1 << 20) else 4)
+        window_group = max(d for d in range(1, w + 1) if w % d == 0 and d <= cap)
     assert w % window_group == 0
     groups = w // window_group
 

@@ -138,15 +138,22 @@ def masked_add_rows(a_rows: jnp.ndarray, b_rows: jnp.ndarray, mask: jnp.ndarray,
     from jax.experimental.pallas import tpu as pltpu
 
     n, tw = a_rows.shape
+    orig_n = n
+    if n % 128 != 0:
+        # Mosaic requires lane-dim blocks of 128 (the mask rides the lane
+        # axis); pad with mask=0 rows (passed through unchanged) and slice.
+        pad = 128 - n % 128
+        a_rows = jnp.concatenate([a_rows, jnp.zeros((pad, tw), a_rows.dtype)])
+        b_rows = jnp.concatenate([b_rows, jnp.zeros((pad, tw), b_rows.dtype)])
+        mask = jnp.concatenate([mask.astype(jnp.int32), jnp.zeros((pad,), jnp.int32)])
+        n += pad
     lblk = 128
-    while n % lblk != 0:
-        lblk //= 2
     grid = (n // lblk,)
     consts = jnp.asarray(make_consts_array())
     mask2 = mask.astype(jnp.int32).reshape(1, n)
     interp = interpret_default(interpret)
     kern = lambda *refs: _masked_add_kernel(lblk, *refs)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
@@ -160,6 +167,7 @@ def masked_add_rows(a_rows: jnp.ndarray, b_rows: jnp.ndarray, mask: jnp.ndarray,
         interpret=interp,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(consts, a_rows, b_rows, mask2)
+    return out[:orig_n]
 
 
 def double(p1: Pt, c: Consts) -> Pt:

@@ -158,8 +158,10 @@ def ab_scan_level(a: jnp.ndarray, b: jnp.ndarray, kab: int,
     n = a.shape[0]
     nc = n // kab
     assert nc * kab == n
-    lblk = min(LBLK, nc)
-    assert nc % lblk == 0
+    # Mosaic lane-dim rule: block lane size must be 128-divisible or equal to
+    # the full dimension.  seg_carry_scan pads nc accordingly.
+    lblk = nc if nc <= 128 else 128
+    assert nc % lblk == 0, (nc, lblk)
     grid = (nc // lblk,)
     consts = jnp.asarray(make_consts_array())
     # Reshape to chunk-major layouts.
@@ -208,10 +210,15 @@ def seg_carry_scan(a: jnp.ndarray, b: jnp.ndarray, kab: int = K,
     if n <= kab:
         c_loc, _, _, _ = ab_scan_level(a, b, n, interpret=interpret)
         return c_loc
-    if n % kab != 0:
-        # Pad with reset steps (a=0, b=anything): carries for the padding are
-        # never read.
-        pad = kab - n % kab
+    # Pad with reset steps (a=0, b=anything; carries for padding are never
+    # read) so the chunk count is <= 128 or a multiple of 128 (Mosaic's
+    # lane-dim block rule).
+    nc = -(-n // kab)
+    if nc > 128:
+        nc = -(-nc // 128) * 128
+    target = nc * kab
+    if target != n:
+        pad = target - n
         a = jnp.concatenate([a, jnp.zeros((pad,), a.dtype)])
         b = jnp.concatenate([b, jnp.broadcast_to(b[-1:], (pad, b.shape[1]))])
         return seg_carry_scan(a, b, kab, interpret=interpret)[:n]

@@ -185,3 +185,12 @@ class MsmConfig:
 def default_msm_config(n: int) -> MsmConfig:
     """Window sizing per input size (reference: submission.ts:79-83)."""
     return MsmConfig(chunk_size=16 if n >= (1 << 16) else 4)
+
+
+def tpu_msm_config(n: int) -> MsmConfig:
+    """Window sizing for the TPU Pallas pipeline, from a measured sweep on
+    v5e: below 2^20 the fixed per-bucket machinery (BPR, extraction — all
+    O(num_windows * 2^(c-1))) outweighs the extra scan work of more windows,
+    so c=13 wins (e.g. 2^16: 83 ms vs 169 ms); at 2^20+ the O(n * windows)
+    scan/gather work dominates and c=16 wins."""
+    return MsmConfig(chunk_size=13 if n < (1 << 20) else 16)
