@@ -69,10 +69,11 @@ def test_adversarial_inputs():
         return sc
 
     s = 0x0123456789ABCDEF0123456789ABCDEF0123456789ABCDEF0123456789ABCD
-    for v, name in ((s, "equal"), (SUBGROUP_ORDER - 1, "order-1")):
-        sc = words(v)
-        res = cuzk.compute_msm(coords, sc, chunk_size=16)
-        want = oracle.msm(pts_u64, np.ascontiguousarray(sc).view(np.uint64).reshape(n, 4), c=16)
-        assert (res["x"], res["y"]) == want, name
-    res0 = cuzk.compute_msm(coords, words(0), chunk_size=16)
-    assert (res0["x"], res0["y"]) == (0, 1)
+    for chunk in (None, 16):  # default (auto-tuned c) and the reference's c=16
+        for v, name in ((s, "equal"), (SUBGROUP_ORDER - 1, "order-1")):
+            sc = words(v)
+            res = cuzk.compute_msm(coords, sc, chunk_size=chunk)
+            want = oracle.msm(pts_u64, np.ascontiguousarray(sc).view(np.uint64).reshape(n, 4), c=16)
+            assert (res["x"], res["y"]) == want, (chunk, name)
+        res0 = cuzk.compute_msm(coords, words(0), chunk_size=chunk)
+        assert (res0["x"], res0["y"]) == (0, 1)
