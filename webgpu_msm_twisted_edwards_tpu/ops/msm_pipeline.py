@@ -171,7 +171,14 @@ def msm_window_sums(
     w = cfg.num_windows
     nb = cfg.num_buckets
     if window_group == 0:
-        cap = w if n <= (1 << 18) else (8 if n <= (1 << 20) else 4)
+        if n <= (1 << 18):
+            cap = w
+        elif n <= (1 << 20):
+            cap = 8
+        elif n <= (1 << 21):
+            cap = 4
+        else:
+            cap = 2       # 2^22 verified at ~13 GB peak on a 16 GB chip
         window_group = max(d for d in range(1, w + 1) if w % d == 0 and d <= cap)
     assert w % window_group == 0
     groups = w // window_group
