@@ -63,10 +63,8 @@ def validate_pipeline(points, scalars, chunk_size: int = 16,
         if x is None:
             break
         row = table[i]
-        xm = 0
-        for j in range(LP):
-            xm |= (int(row[j]) & 0xFFFF) << (2 * j * PARAMS.word_size)
-            xm |= (int(row[j]) >> 16) << ((2 * j + 1) * PARAMS.word_size)
+        # Table rows hold x, y, t, d*t as unpacked 13-bit limbs (20 u32 each).
+        xm = sum(int(row[j]) << (j * PARAMS.word_size) for j in range(PARAMS.num_words))
         assert xm % PARAMS.p == PARAMS.to_mont(x), f"stage 1 convert mismatch at {i}"
     status["convert"] = "ok"
 

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .common import L, LP, MASK, W, load_consts, make_consts_array, mont_mul, pack2
+from .common import L, LP, MASK, W, load_consts, make_consts_array, mont_mul
 from .scan import TWR as TW, _interpret_default
 
 #: Points per kernel block.
@@ -48,9 +48,9 @@ def _convert_kernel(lblk, consts_ref, words_ref, out_ref):
     ym = mont_mul(y, r2, c.p)
     tm = mont_mul(xm, ym, c.p)
     tdm = mont_mul(tm, jnp.broadcast_to(c.d, x.shape), c.p)
-    pad = jnp.zeros((TW - 4 * LP, lblk), jnp.uint32)
-    packed = jnp.concatenate([pack2(xm), pack2(ym), pack2(tm), pack2(tdm), pad], axis=0)
-    out_ref[:, :] = jnp.transpose(packed)
+    pad = jnp.zeros((TW - 4 * L, lblk), jnp.uint32)
+    rows = jnp.concatenate([xm, ym, tm, tdm, pad], axis=0)
+    out_ref[:, :] = jnp.transpose(rows)
 
 
 def build_table(coords_u32: jnp.ndarray, interpret: bool | None = None) -> jnp.ndarray:

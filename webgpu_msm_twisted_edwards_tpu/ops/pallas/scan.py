@@ -36,8 +36,9 @@ LBLK = 256
 
 #: Accumulator/output row width in u32 (packed x,y,t,z + padding).
 TW = 64
-#: Table row width in u32 (packed x,y,t,td at cols 0..39; padded to a full
-#: (8,128) tile so XLA's row gather runs at its widest-row rate).
+#: Table row width in u32 (x,y,t,td unpacked at cols 0..79 — gathers are
+#: row-count-bound, so the wider rows are free and save the in-kernel limb
+#: interleave; padded to a full (8,128) tile).
 TWR = 128
 
 
@@ -61,11 +62,11 @@ def _msm_scan_kernel(lblk, consts_ref, rows_ref, keys_ref, sgn_ref, out_ref):
 
     def body(j, state):
         acc, kprev = state
-        slab = jnp.transpose(rows_ref[:, j, 0:4 * LP])   # [4*LP, LBLK]
-        x2 = unpack2(slab[0 * LP:1 * LP])
-        y2 = unpack2(slab[1 * LP:2 * LP])
-        t2 = unpack2(slab[2 * LP:3 * LP])
-        td2 = unpack2(slab[3 * LP:4 * LP])
+        slab = jnp.transpose(rows_ref[:, j, 0:4 * L])    # [4*L, LBLK]
+        x2 = slab[0 * L:1 * L]
+        y2 = slab[1 * L:2 * L]
+        t2 = slab[2 * L:3 * L]
+        td2 = slab[3 * L:4 * L]
         neg = sgn_ref[pl.ds(j, 1), :] != 0                    # [1, LBLK]
         q4 = jnp.broadcast_to(c.q4, x2.shape)
         nx2, nt2, ntd2 = sweep_many([q4 - x2, q4 - t2, q4 - td2])
