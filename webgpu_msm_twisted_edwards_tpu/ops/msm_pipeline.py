@@ -4,7 +4,7 @@ End-to-end re-design of the reference cuZK orchestrator
 (reference: src/submission/submission.ts:73-412) for TPU:
 
     1. convert (Pallas) + decompose — build the Montgomery point table
-       (XLA)                            (x, y, t, d*t packed 2 limbs per u32)
+       (XLA)                            (x, y, t, d*t as raw 13-bit limbs)
                                       and signed window digits.
     2. sort (XLA lax.sort)          — per window, order (bucket, point, sign);
                                       replaces the atomics CSR transpose
@@ -62,9 +62,10 @@ def pack_cols(a: jnp.ndarray) -> jnp.ndarray:
 
 
 def build_table(coords_u32: jnp.ndarray, interpret: bool | None = None) -> jnp.ndarray:
-    """[n, 2, 8] affine coordinate words -> [n, TW] packed Montgomery table
-    rows (x, y, t=x*y, td=d*t) via the Pallas convert kernel (reference
-    analogue: convert_point_coords_and_decompose_scalars.template.wgsl:39-77)."""
+    """[n, 2, 8] affine coordinate words -> [n, TWR] Montgomery table rows
+    (x, y, t=x*y, td=d*t as raw limbs) via the Pallas convert kernel
+    (reference analogue:
+    convert_point_coords_and_decompose_scalars.template.wgsl:39-77)."""
     return PC.build_table(coords_u32, interpret=interpret)
 
 

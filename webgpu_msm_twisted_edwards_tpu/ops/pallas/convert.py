@@ -38,7 +38,8 @@ def _limbs_from_words(words, num_rows: int):
 
 
 def _convert_kernel(lblk, consts_ref, words_ref, out_ref):
-    """words_ref: [lblk, 16] (x words 0..7, y words 8..15); out_ref [lblk, TW]."""
+    """words_ref: [lblk, 16] (x words 0..7, y words 8..15); out_ref
+    [lblk, TW] with x, y, t, d*t as raw limbs at columns 0..79."""
     c = load_consts(consts_ref)
     wds = jnp.transpose(words_ref[:])              # [16, lblk]
     x = _limbs_from_words(wds[0:8], 8)
