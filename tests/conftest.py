@@ -7,15 +7,16 @@ import os
 # The ambient environment pins JAX_PLATFORMS to the TPU tunnel ("axon") and a
 # sitecustomize hook registers that backend at interpreter start, so the env
 # var alone is not enough — update the jax config directly before any backend
-# is initialized.  Tests always run on an 8-device virtual CPU mesh.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-
+# is initialized.  Tests run on an 8-device virtual CPU mesh by default;
+# set RUN_ON_TPU=1 to keep the real TPU backend (enables test_pallas_tpu.py).
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not os.environ.get("RUN_ON_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    jax.config.update("jax_platforms", "cpu")
 
 import random
 from functools import lru_cache

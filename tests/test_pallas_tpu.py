@@ -1,8 +1,8 @@
-"""End-to-end test of the production Pallas pipeline on real TPU hardware.
+"""End-to-end tests of the production Pallas pipeline on real TPU hardware.
 
-Skipped on CPU (the kernels only compile for TPU; interpreter-mode coverage
-lives in test_pallas_kernels.py).  Run directly with:
-    JAX_PLATFORMS='' python -m pytest tests/test_pallas_tpu.py -x -q
+Skipped under the default CPU test mesh (the kernels only compile for TPU;
+interpreter-mode coverage lives in test_pallas_kernels.py).  Run on TPU with:
+    RUN_ON_TPU=1 python -m pytest tests/test_pallas_tpu.py -x -q
 """
 
 import numpy as np

@@ -26,6 +26,10 @@ def main(argv=None):
     p_scale = sub.add_parser("scaling", help="multi-chip scaling sweep")
     p_scale.add_argument("--power", type=int, default=18)
 
+    p_trace = sub.add_parser("trace", help="capture an XProf device trace of one MSM")
+    p_trace.add_argument("--power", type=int, default=16)
+    p_trace.add_argument("--log-dir", type=str, default="/tmp/msm_trace")
+
     for name in ("mont", "barrett", "barrett-domb", "convert", "decompose",
                  "data-transfer", "add-points", "scalar-mul", "bucket-reduction",
                  "horners-rule"):
@@ -43,6 +47,8 @@ def main(argv=None):
         from . import scaling
 
         table = scaling.run(log2n=args.power)
+    elif args.cmd == "trace":
+        table = micro.trace(power=args.power, log_dir=args.log_dir)
     else:
         fn = {
             "mont": micro.mont_mul,

@@ -332,3 +332,31 @@ def horners_rule(runs: int = 3) -> Table:
         hts.append((time.time() - t0) * 1e3)
     t.add("host (python bigint)", 0, round(median(hts), 3))
     return t
+
+
+def trace(power: int = 16, log_dir: str = "/tmp/msm_trace") -> Table:
+    """Capture an XLA/TPU profiler trace of one MSM (view in
+    TensorBoard/XProf) — the observability upgrade over the reference's
+    wall-clock-only measurement (reference: ui/Benchmark.tsx:29-39)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial as _partial
+
+    from ..ops import msm_pipeline as MP
+    from ..utils.params import tpu_msm_config
+    from ..utils.profiling import device_trace
+    from .full import _inputs_for_power
+
+    coords, scalars, _, _ = _inputs_for_power(power)
+    cfg = tpu_msm_config(coords.shape[0])
+    dcoords = jax.device_put(jnp.asarray(coords))
+    dscalars = jax.device_put(jnp.asarray(scalars))
+    fn = jax.jit(_partial(MP.msm_window_sums, cfg=cfg))
+    out = fn(dcoords, dscalars)
+    _ = np.asarray(out)  # compile outside the trace
+    with device_trace(log_dir):
+        out = fn(dcoords, dscalars)
+        _ = np.asarray(out)
+    t = Table(["power", "trace dir"])
+    t.add(power, log_dir)
+    return t
