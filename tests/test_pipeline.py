@@ -117,3 +117,17 @@ def test_compute_msm_zero_scalars():
     got = cuzk.compute_msm([(p.x, p.y) for p in pts], [0] * 16, chunk_size=4, bpr_chunks=4)
     # 0 * anything = identity -> affine (0, 1).
     assert (got["x"], got["y"]) == (0, 1)
+
+
+def test_compute_msm_accepts_bigintpoint_dicts():
+    """API parity: the reference's BigIntPoint objects are {x, y, t, z} dicts
+    (reference: src/reference/types.ts:1-6); compute_msm accepts them."""
+    from conftest import random_points_scalars
+    from webgpu_msm_twisted_edwards_tpu.models import cuzk
+
+    pts, scalars = random_points_scalars(16, seed=30)
+    tuples = [p.to_affine() for p in pts]
+    dicts = [{"x": x, "y": y, "t": x * y, "z": 1} for x, y in tuples]
+    a = cuzk.compute_msm(tuples, scalars, chunk_size=4, bpr_chunks=4)
+    b = cuzk.compute_msm(dicts, scalars, chunk_size=4, bpr_chunks=4)
+    assert a == b

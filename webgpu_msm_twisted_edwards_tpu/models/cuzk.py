@@ -98,12 +98,15 @@ def prepare_inputs(
 
     The analogue of the reference's input buffers
     (reference: submission.ts:444-462; bigIntsToBufferLE layout,
-    src/reference/webgpu/utils.ts:90-103)."""
+    src/reference/webgpu/utils.ts:90-103).  Points may be (x, y) tuples,
+    BigIntPoint-style dicts with "x"/"y" keys (reference:
+    src/reference/types.ts:1-6), or a pre-packed [n, 2, 8] uint32 array."""
     if isinstance(points, np.ndarray) and points.dtype == np.uint32:
         coords = points
     else:
-        xs = [p[0] for p in points]
-        ys = [p[1] for p in points]
+        pts = [(p["x"], p["y"]) if isinstance(p, dict) else p for p in points]
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
         coords = np.stack([L.ints_to_u32_words(xs), L.ints_to_u32_words(ys)], axis=1)
     if isinstance(scalars, np.ndarray) and scalars.dtype == np.uint32:
         sc = scalars
