@@ -115,3 +115,27 @@ def test_bpr_kernels_interpret():
             m = m.add(bkts[b])
             want = want.add(m)
         assert got[wi].to_affine() == want.to_affine(), wi
+
+
+def test_convert_kernel_interpret():
+    """Pallas convert kernel vs host Montgomery conversion (reference
+    analogue: the stage-1 debug check, submission.ts:892-951)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from webgpu_msm_twisted_edwards_tpu.ops.pallas import convert as PC
+    from webgpu_msm_twisted_edwards_tpu.ops.pallas.common import L as LIMBS
+    from webgpu_msm_twisted_edwards_tpu.models.cuzk import prepare_inputs
+
+    pts, _ = random_points_scalars(8, seed=14)
+    coords, _ = prepare_inputs([p.to_affine() for p in pts], [0] * 8)
+    table = np.asarray(PC.build_table(jnp.asarray(coords), interpret=True))
+    for i, p in enumerate(pts):
+        for ci, want_plain in enumerate((p.x, p.y, p.x * p.y % PARAMS.p)):
+            got = sum(int(table[i, ci * LIMBS + j]) << (j * W) for j in range(LIMBS))
+            assert got % PARAMS.p == PARAMS.to_mont(want_plain), (i, ci)
+        # column 3 holds d*t in Montgomery form
+        from webgpu_msm_twisted_edwards_tpu.utils.params import EDWARDS_D
+
+        got = sum(int(table[i, 3 * LIMBS + j]) << (j * W) for j in range(LIMBS))
+        assert got % PARAMS.p == PARAMS.to_mont(EDWARDS_D * p.x * p.y % PARAMS.p)

@@ -131,3 +131,19 @@ def test_compute_msm_accepts_bigintpoint_dicts():
     a = cuzk.compute_msm(tuples, scalars, chunk_size=4, bpr_chunks=4)
     b = cuzk.compute_msm(dicts, scalars, chunk_size=4, bpr_chunks=4)
     assert a == b
+
+
+def test_naive_msm_baseline():
+    """tpu_naive_msm (per-point double-and-add + tree sum) matches the
+    python sum — the reference's naive-baseline check
+    (reference: naiveMSMEntry.ts:38-260)."""
+    from conftest import random_points_scalars
+    from webgpu_msm_twisted_edwards_tpu.cpu.curve import ExtPoint
+    from webgpu_msm_twisted_edwards_tpu.models.baselines import tpu_naive_msm
+
+    pts, scalars = random_points_scalars(8, seed=31)
+    res = tpu_naive_msm([p.to_affine() for p in pts], scalars)
+    want = ExtPoint(0, 1, 0, 1)
+    for p, s in zip(pts, scalars):
+        want = want.add(p.mul(s))
+    assert (res["x"], res["y"]) == want.to_affine()
