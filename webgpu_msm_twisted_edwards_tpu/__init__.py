@@ -12,8 +12,25 @@ with jax.sharding.
 from .models.cuzk import compute_msm
 from .utils.params import EDWARDS_A, EDWARDS_D, P, PARAMS, SUBGROUP_ORDER, MsmConfig
 
+
+def compute_msm_sharded(points, scalars, **kwargs):
+    """Multi-device MSM (see parallel.sharded.compute_msm_sharded)."""
+    from .parallel.sharded import compute_msm_sharded as _f
+
+    return _f(points, scalars, **kwargs)
+
+
+def validate_pipeline(points, scalars, **kwargs):
+    """Per-stage device-vs-mirror validation (see ops.debug.validate_pipeline)."""
+    from .ops.debug import validate_pipeline as _f
+
+    return _f(points, scalars, **kwargs)
+
+
 __all__ = [
     "compute_msm",
+    "compute_msm_sharded",
+    "validate_pipeline",
     "P",
     "EDWARDS_A",
     "EDWARDS_D",
