@@ -260,18 +260,21 @@ def dashboard(power: int = 16, runs: int = 1) -> Table:
     from .full import _inputs_for_power
 
     coords, scalars, expected, src = _inputs_for_power(power)
-    t = Table(["function", "time (ms)", "correct"])
+    t = Table(["function", "first run incl. compile (ms)", "steady (ms)", "correct"])
     for name, fn in ALL_MSM_FUNCTIONS.items():
         if "naive" in name and power > 14:
-            t.add(name, "skipped (naive path is O(256 n) on-device)", "-")
+            t.add(name, "skipped (naive path is O(256 n) on-device)", "-", "-")
             continue
         t0 = time.time()
         res = fn(coords, scalars)
-        ms = (time.time() - t0) * 1e3
+        first_ms = (time.time() - t0) * 1e3
+        t0 = time.time()
+        res = fn(coords, scalars)
+        steady_ms = (time.time() - t0) * 1e3
         ok = "-"
         if expected is not None:
             ok = "✓" if (res["x"], res["y"]) == tuple(expected) else "✗"
-        t.add(name, round(ms, 1), ok)
+        t.add(name, round(first_ms, 1), round(steady_ms, 1), ok)
         print(t.markdown().splitlines()[-1], flush=True)
     return t
 
