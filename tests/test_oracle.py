@@ -46,3 +46,34 @@ def test_oracle_msm_larger():
     pts, scalars = random_points_scalars(512, seed=64)
     want = naive_msm(pts, scalars).to_affine()
     assert oracle.msm([p.to_affine() for p in pts], scalars, c=16) == want
+
+
+def test_gen_points_on_curve_and_deterministic():
+    """Fixture generation integrity: points are on the curve, in the
+    prime-order subgroup, and deterministic per seed."""
+    import numpy as np
+    import pytest
+
+    from webgpu_msm_twisted_edwards_tpu.utils import oracle
+    from webgpu_msm_twisted_edwards_tpu.cpu.curve import ExtPoint
+    from webgpu_msm_twisted_edwards_tpu.utils.params import (
+        EDWARDS_D,
+        P,
+        SUBGROUP_ORDER,
+    )
+
+    if not oracle.available():
+        pytest.skip("liboracle.so not built")
+    a = oracle.gen_points(64, seed=99)
+    b = oracle.gen_points(64, seed=99)
+    assert (a == b).all()
+    c = oracle.gen_points(64, seed=100)
+    assert not (a == c).all()
+
+    for x, y in oracle.points_u64_to_ints(a[:8]):
+        # a*x^2 + y^2 = 1 + d*x^2*y^2 with a = -1
+        lhs = (-x * x + y * y) % P
+        rhs = (1 + EDWARDS_D * x * x % P * y % P * y) % P
+        assert lhs == rhs, "not on curve"
+        pt = ExtPoint.from_affine(x, y)
+        assert pt.mul(SUBGROUP_ORDER).to_affine() == (0, 1), "not in subgroup"
