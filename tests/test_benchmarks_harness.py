@@ -49,3 +49,19 @@ def test_inputs_for_power_prefers_fixture(tmp_path):
         assert x == tc.points[0][0]
     finally:
         td_mod.DEFAULT_DIR = old
+
+
+def test_cli_help_lists_all_subcommands():
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "webgpu_msm_twisted_edwards_tpu.benchmarks", "--help"],
+        capture_output=True, text=True, timeout=120,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert out.returncode == 0
+    for cmd in ("full", "dashboard", "scaling", "trace", "mont", "barrett",
+                "barrett-domb", "convert", "decompose", "data-transfer",
+                "add-points", "scalar-mul", "bucket-reduction", "horners-rule"):
+        assert cmd in out.stdout, cmd
