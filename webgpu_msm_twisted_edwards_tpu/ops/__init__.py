@@ -1,0 +1,10 @@
+"""Device ops layer.
+
+- `pallas/` — the production Mosaic kernels (field, EC, scan, BPR, convert).
+- `msm_pipeline` — the production device pipeline (sort → gather → scan →
+  carries → extraction → BPR).
+- `field`, `curve`, `convert`, `buckets`, `bpr` — the pure-XLA implementations
+  (the correctness mirror and small-input path).
+- `barrett`, `montgomery_variants`, `scalar_mul` — parity/benchmark variants.
+- `debug` — per-stage device-vs-mirror validators.
+"""
