@@ -92,13 +92,17 @@ def main():
 
     dcoords = jax.device_put(jnp.asarray(coords))
     dscalars = jax.device_put(jnp.asarray(scalars))
-    use_pallas = cfg.chunk_size >= 8 and n >= 4096
+    # Gate on the backend like compute_msm's auto-select: the Pallas kernels
+    # compile only for TPU (interpret mode elsewhere is orders slower).
+    use_pallas = (
+        jax.default_backend() == "tpu" and cfg.chunk_size >= 8 and n >= 4096
+    )
     if use_pallas:
-        fn = jax.jit(partial(MP.msm_window_sums, cfg=cfg, interpret=False))
-
         def run_once():
             t = time.time()
-            rows = np.asarray(fn(dcoords, dscalars))
+            rows = np.asarray(
+                MP.msm_window_sums_staged(dcoords, dscalars, cfg, interpret=False)
+            )
             pts = cuzk.packed_rows_to_extpoints(rows)
             from webgpu_msm_twisted_edwards_tpu.cpu.mirrors import horner
 

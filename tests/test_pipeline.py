@@ -147,3 +147,34 @@ def test_naive_msm_baseline():
     for p, s in zip(pts, scalars):
         want = want.add(p.mul(s))
     assert (res["x"], res["y"]) == want.to_affine()
+
+
+def test_scalar_domain_guard_reduces_oversized_scalars():
+    """Scalars >= the subgroup order (up to full 256-bit) are reduced mod the
+    order instead of silently wrong-answering via the dropped decomposition
+    carry (reference throws instead: miscellaneous/utils.ts:81-84)."""
+    from webgpu_msm_twisted_edwards_tpu.utils.params import SUBGROUP_ORDER
+
+    pts, _, _, _ = _inputs(4, seed=36)
+    big = [
+        (1 << 256) - 1,                   # max 256-bit value
+        (1 << 255) + 12345,               # would produce a final signed carry
+        SUBGROUP_ORDER,                   # boundary: == order -> 0
+        SUBGROUP_ORDER - 1,               # boundary: in-domain, untouched
+    ]
+    expected = naive_msm(pts, [b % SUBGROUP_ORDER for b in big]).to_affine()
+    got = cuzk.compute_msm([(p.x, p.y) for p in pts], big, chunk_size=4, bpr_chunks=4)
+    assert (got["x"], got["y"]) == expected
+
+
+def test_reduce_scalars_mod_order_words():
+    from webgpu_msm_twisted_edwards_tpu.utils.params import SUBGROUP_ORDER
+
+    vals = [0, 1, SUBGROUP_ORDER - 1, SUBGROUP_ORDER, SUBGROUP_ORDER + 7, (1 << 256) - 1]
+    sc = L.ints_to_u32_words(vals)
+    out = cuzk.reduce_scalars_mod_order(sc)
+    got = [L.words_le_to_int(row, 32) for row in out.astype(np.uint64)]
+    assert got == [v % SUBGROUP_ORDER for v in vals]
+    # In-domain input is returned unchanged (no copy even).
+    sc_ok = L.ints_to_u32_words([1, 2, 3])
+    assert cuzk.reduce_scalars_mod_order(sc_ok) is sc_ok

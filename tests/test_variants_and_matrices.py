@@ -93,6 +93,54 @@ def test_barrett_domb_mirror():
     assert BD.from_limbs(BD.mp_full_multiply(a, a, 13), 13) == 12345678901234567890**2
 
 
+def test_barrett_domb_msb_lsb_building_blocks():
+    """mp_msb_multiply / mp_lsb_multiply semantics vs exact bigint halves —
+    the reference's hard-coded-vector style (reference:
+    miscellaneous/tests/barrett_domb.test.ts)."""
+    w, L = PARAMS.word_size, PARAMS.num_words
+    rng = random.Random(7)
+    # Hard-coded vectors first (stable regression anchors).
+    fixed = [
+        (2**253 - 1, 2**253 - 5),
+        (0x1234567890ABCDEF1234567890ABCDEF, 0xFEDCBA0987654321),
+        (1, PARAMS.p - 1),
+    ]
+    cases = fixed + [(rng.randrange(1 << L * w), rng.randrange(1 << L * w)) for _ in range(20)]
+    for x, y in cases:
+        a, b = BD.to_limbs(x, L, w), BD.to_limbs(y, L, w)
+        # LSB half is exact: (x*y) mod 2^(L*w).
+        assert BD.from_limbs(BD.mp_lsb_multiply(a, b, w)[:L], w) == (x * y) % (1 << L * w)
+        # MSB half is a floor estimate of (x*y) >> L*w missing only the
+        # carries out of the dropped columns < L-1: error in [0, L].
+        exact_hi = (x * y) >> (L * w)
+        got_hi = BD.from_limbs(BD.mp_msb_multiply(a, b, w), w)
+        assert 0 <= exact_hi - got_hi <= L, (exact_hi, got_hi)
+
+
+def test_barrett_domb_device():
+    """Device (XLA) Barrett-Domb vs exact products, incl. boundary values
+    (reference device analogue: wgsl/barrett_domb.template.wgsl:1-188)."""
+    import jax.numpy as jnp
+
+    from webgpu_msm_twisted_edwards_tpu.ops.barrett_domb import barrett_domb_mul
+
+    rng = random.Random(11)
+    p = PARAMS.p
+    w, L = PARAMS.word_size, PARAMS.num_words
+    vals = [(p - 1, p - 1), (0, 123), (1, p - 1), (p - 2, 2)] + [
+        (rng.randrange(p), rng.randrange(p)) for _ in range(28)
+    ]
+    xs = jnp.asarray(np.stack([BD.to_limbs(x, L, w) for x, _ in vals]).astype(np.uint32))
+    ys = jnp.asarray(np.stack([BD.to_limbs(y, L, w) for _, y in vals]).astype(np.uint32))
+    out = np.asarray(barrett_domb_mul(xs, ys))
+    for i, (x, y) in enumerate(vals):
+        assert BD.from_limbs(out[i].tolist(), w) == x * y % p, i
+        # And the CPU mirror agrees limb-for-limb.
+        assert out[i].tolist() == BD.barrett_domb_mul(
+            BD.to_limbs(x, L, w), BD.to_limbs(y, L, w)
+        ), i
+
+
 def test_matrices_roundtrip():
     # Mock group op: string concatenation, like the reference's CSR tests
     # (reference: miscellaneous/tests/create_csr.test.ts:12-93).

@@ -74,22 +74,42 @@ def barrett_mul(batch: int = 1 << 17, runs: int = 3) -> Table:
     return t
 
 
-def barrett_domb_mul(samples: int = 2000) -> Table:
-    """CPU mirror timing (the reference's variant was explored on GPU and
-    rejected; here the mirror documents the capability)."""
+def barrett_domb_mul(batch: int = 1 << 17, runs: int = 3, samples: int = 2000) -> Table:
+    """Device Barrett-Domb rate next to Barrett and Montgomery (the
+    reference's barrett_domb_mul_benchmarks.ts raced the same three), plus
+    the CPU-mirror timing row."""
     import random
 
+    import jax
+    import jax.numpy as jnp
+
     from ..cpu.barrett_domb import barrett_domb_mul_int
+    from ..ops.barrett import barrett_mul as bmul
+    from ..ops.barrett_domb import barrett_domb_mul as bdmul
+    from ..ops.field import mont_mul as xmont
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(_rand_limbs(rng, batch, PARAMS))
+    y = jnp.asarray(_rand_limbs(rng, batch, PARAMS))
+    t = Table(["algorithm", "batch", "compile (ms)", "median (ms)", "M mul/s"])
+    for name, fn in (
+        ("barrett-domb (device)", jax.jit(partial(bdmul, params=PARAMS))),
+        ("barrett (device)", jax.jit(partial(bmul, params=PARAMS))),
+        ("montgomery (device, XLA)", jax.jit(partial(xmont, params=PARAMS))),
+    ):
+        comp, ts = time_device(fn, x, y, runs=runs)
+        m = median(ts)
+        t.add(name, batch, round(comp), round(m, 2), round(batch / m / 1e3, 1))
 
     r = random.Random(0)
     xs = [r.randrange(0, PARAMS.p) for _ in range(samples)]
     ys = [r.randrange(0, PARAMS.p) for _ in range(samples)]
     t0 = time.time()
-    for x, y in zip(xs, ys):
-        barrett_domb_mul_int(x, y)
+    for xi, yi in zip(xs, ys):
+        barrett_domb_mul_int(xi, yi)
     dt = (time.time() - t0) * 1e3
-    t = Table(["samples", "total (ms)", "us/mul"])
-    t.add(samples, round(dt, 1), round(dt * 1e3 / samples, 2))
+    t.add("barrett-domb (cpu mirror)", samples, "-", round(dt, 1),
+          round(samples / dt / 1e3, 4))
     return t
 
 
@@ -136,11 +156,17 @@ def data_transfer(mb: int = 64, runs: int = 3) -> Table:
     n = mb * (1 << 20) // 4
     host = np.arange(n, dtype=np.uint32)
     t = Table(["direction", "MB", "median (ms)", "GB/s"])
+    # block_until_ready does not reliably block on this rig (CLAUDE.md), so
+    # force completion by fetching one element of a computation that depends
+    # on the transferred array.
+    from .timing import force
+
     ts = []
-    for _ in range(runs):
+    for i in range(runs):
+        host_i = host + np.uint32(i)  # fresh buffer: defeat transfer caching
         t0 = time.time()
-        dev = jax.device_put(host)
-        dev.block_until_ready()
+        dev = jax.device_put(host_i)
+        force(dev + np.uint32(1))
         ts.append((time.time() - t0) * 1e3)
     m = median(ts)
     t.add("host->device", mb, round(m, 1), round(mb / 1024 / (m / 1e3), 2))

@@ -105,22 +105,47 @@ def mp_full_multiply(a: list[int], b: list[int], w: int) -> list[int]:
     return to_limbs(v, 2 * len(a), w)
 
 
+def mp_gt(a: list[int], b: list[int]) -> bool:
+    """Lexicographic a > b over little-endian limbs (reference: mp_gt)."""
+    for i in range(len(a) - 1, -1, -1):
+        if a[i] != b[i]:
+            return a[i] > b[i]
+    return False
+
+
 def barrett_domb_mul(a: list[int], b: list[int], params: FieldParams = PARAMS) -> list[int]:
-    """x*y mod p (exact), Domb-Barrett with the precomputed m constant
-    (reference: barrett_domb.ts:258-323 and calc_m at :7)."""
+    """x*y mod p (exact), Domb-Barrett — built from the multiprecision
+    building blocks above, mirroring the reference's limb-level pipeline
+    (reference: barrett_domb.ts:258-323 and calc_m at :7):
+
+    ab = mp_full_multiply(a, b); ab_msb = top L limbs of ab << 2z;
+    l = (mp_msb_multiply(ab_msb, m_low) + ab_msb) >> z   (m's top bit is 1);
+    r = (ab_lsb - mp_lsb_multiply(l, p)) mod 2^(L*w); subtract p while >= p.
+
+    The w=13 design point never takes the reference's extra-diagonal branch
+    (z = 7 >= log2(4 + L/2^z)); unlike the reference (which loops while
+    r > p and may return the representative p), the result is fully reduced.
+    """
     w = params.word_size
     L = params.num_words
     s = params.p.bit_length()
     z = L * w - s
-    av, bv = from_limbs(a, w), from_limbs(b, w)
-    ab = av * bv
-    # Quotient estimate from the top s+z bits, multiplied by m, shifted down.
-    ab_msb = ab >> (s - 1)
-    q = (ab_msb * params.barrett_domb_m) >> (s + z + 1)
-    r = ab - q * params.p
-    while r >= params.p:
-        r -= params.p
-    return to_limbs(r, L, w)
+    m = params.barrett_domb_m
+    assert m >> (L * w) == 1, "m must have exactly one bit above L*w"
+    m_low = to_limbs(m - (1 << (L * w)), L, w)
+    p_limbs = to_limbs(params.p, L, w)
+
+    ab = mp_full_multiply(a, b, w)                     # 2L limbs
+    ab_shift = mp_shifter_left(ab, 2 * z, w)           # << 2z (mod 2^(2Lw))
+    ab_msb = ab_shift[L:]
+    t = mp_msb_multiply(ab_msb, m_low, w)
+    l_full, _ = mp_adder(t, ab_msb, w)
+    l = mp_shifter_right(l_full, z, w)
+    ls = mp_lsb_multiply(l, p_limbs, w)
+    r, _ = mp_subtracter(ab[:L], ls, w)
+    while mp_gt(r, p_limbs) or r == p_limbs:
+        r, _ = mp_subtracter(r, p_limbs, w)
+    return r
 
 
 def barrett_domb_mul_int(x: int, y: int, params: FieldParams = PARAMS) -> int:

@@ -31,7 +31,13 @@ from ..ops import buckets as B
 from ..ops import convert as CV
 from ..ops import curve as C
 from ..utils import limbs as L
-from ..utils.params import PARAMS, MsmConfig, default_msm_config, tpu_msm_config
+from ..utils.params import (
+    PARAMS,
+    SUBGROUP_ORDER,
+    MsmConfig,
+    default_msm_config,
+    tpu_msm_config,
+)
 
 
 def msm_window_sums_device(
@@ -112,7 +118,33 @@ def prepare_inputs(
         sc = scalars
     else:
         sc = L.ints_to_u32_words(list(scalars))
-    return coords, sc
+    return coords, reduce_scalars_mod_order(sc)
+
+
+def reduce_scalars_mod_order(sc: np.ndarray) -> np.ndarray:
+    """Scalar-domain guard: reduce any scalar >= the subgroup order mod that
+    order (for subgroup points, k*P == (k mod order)*P, so the result is
+    unchanged — but the signed window decomposition would silently drop its
+    final carry for scalars >= ~2^255 and return a wrong answer).
+
+    The reference instead throws on the final carry
+    (reference: src/submission/miscellaneous/utils.ts:81-84); reducing keeps
+    the full 256-bit input domain valid.  sc: [n, 8] uint32 LE words."""
+    order_words = L.ints_to_u32_words([SUBGROUP_ORDER])[0]
+    # Vectorized lexicographic compare, most-significant word first.
+    ge = np.ones(sc.shape[0], dtype=bool)   # tracks "equal so far" -> ">= order"
+    gt = np.zeros(sc.shape[0], dtype=bool)
+    for i in range(sc.shape[1] - 1, -1, -1):
+        gt |= ge & (sc[:, i] > order_words[i])
+        ge &= sc[:, i] == order_words[i]
+    bad = gt | ge
+    if not bad.any():
+        return sc
+    sc = sc.copy()
+    for row in np.flatnonzero(bad):
+        v = L.words_le_to_int(sc[row].astype(np.uint64), 32) % SUBGROUP_ORDER
+        sc[row] = L.ints_to_u32_words([v])[0]
+    return sc
 
 
 def packed_rows_to_extpoints(rows: np.ndarray) -> list[ExtPoint]:
@@ -135,13 +167,12 @@ def packed_rows_to_extpoints(rows: np.ndarray) -> list[ExtPoint]:
     return out
 
 
-@lru_cache(maxsize=None)
-def _jitted_pallas_pipeline(chunk_size: int, n: int, interpret: bool | None):
+def _clear_pallas_pipeline_caches():
+    """Drop the staged pipeline's compiled programs (force_recompile)."""
     from ..ops import msm_pipeline as MP
 
-    cfg = MsmConfig(chunk_size=chunk_size)
-    fn = partial(MP.msm_window_sums, cfg=cfg, interpret=interpret)
-    return jax.jit(fn)
+    for fn in (MP._stage_table_digits, MP._stage_group, MP._stage_bpr):
+        fn.clear_cache()
 
 
 def compute_msm(
@@ -171,7 +202,7 @@ def compute_msm(
         # (reference: submission.ts:76-77, shader_manager.ts:85-92): drop the
         # cached jitted pipelines so XLA re-traces and re-compiles.
         _jitted_pipeline.cache_clear()
-        _jitted_pallas_pipeline.cache_clear()
+        _clear_pallas_pipeline_caches()
     coords, sc = prepare_inputs(points, scalars)
     n = coords.shape[0]
     if chunk_size is None:
@@ -200,8 +231,13 @@ def compute_msm(
             pad = target - n
             coords = np.concatenate([coords, np.tile(coords[:1], (pad, 1, 1))], axis=0)
             sc = np.concatenate([sc, np.zeros((pad, 8), dtype=np.uint32)], axis=0)
-        fn = _jitted_pallas_pipeline(cfg.chunk_size, target, interpret)
-        rows = np.asarray(fn(jnp.asarray(coords), jnp.asarray(sc)))
+        from ..ops import msm_pipeline as MP
+
+        rows = np.asarray(
+            MP.msm_window_sums_staged(
+                jnp.asarray(coords), jnp.asarray(sc), cfg, interpret=interpret
+            )
+        )
         pts = packed_rows_to_extpoints(rows)
     else:
         fn = _jitted_pipeline(cfg.chunk_size, bpr_chunks)

@@ -156,6 +156,34 @@ def window_group_bucket_sums(
     return buckets                                                   # [Wg*NB, TW]
 
 
+#: Empirical peak device-memory footprint per staged (window, point) entry in
+#: one window group: gather output (512 B physical) + scan output + sort
+#: keys/payloads + XLA copies (measured ~13 GB at 2^22 with window_group=2 ->
+#: ~1550 B/entry; 1300 with a 0.85 budget reproduces the hand-tuned caps).
+_STAGING_BYTES_PER_ENTRY = 1300
+
+
+def device_memory_bytes() -> int:
+    """Reported device memory, falling back to the 16 GB of a v5e."""
+    try:
+        stats = jax.devices()[0].memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return int(stats["bytes_limit"])
+    except Exception:
+        pass
+    return 16 * (1 << 30)
+
+
+def default_window_group(n: int, num_windows: int) -> int:
+    """Largest divisor of num_windows whose per-group staging fits the
+    device-memory budget (reference analogue: the reference splits SMVP into
+    num_subtask_chunk_size=4 dispatches for the same reason,
+    submission.ts:233-274)."""
+    budget = int(0.85 * device_memory_bytes())
+    cap = max(1, budget // (n * _STAGING_BYTES_PER_ENTRY))
+    return max(d for d in range(1, num_windows + 1) if num_windows % d == 0 and d <= cap)
+
+
 def msm_window_sums(
     coords_u32: jnp.ndarray,
     scalars_u32: jnp.ndarray,
@@ -165,22 +193,23 @@ def msm_window_sums(
 ) -> jnp.ndarray:
     """Full device pipeline: [n,2,8], [n,8] -> [W, TW] packed window sums.
 
-    window_group = 0 chooses a memory-bounded default: the largest divisor of
-    num_windows whose staging (gather output + scan output, ~wg*n*768 B)
-    stays within ~4.5 GB."""
+    One traceable function (usable under a single jit / shard_map).  For the
+    single-chip production path prefer :func:`msm_window_sums_staged`, which
+    runs the same stages as separate compiled programs — same answer, far
+    cheaper XLA compile (the window-group loop body compiles once and the
+    whole-program optimizer never sees the full pipeline graph).
+
+    window_group = 0 chooses a memory-bounded default derived from reported
+    device memory (see :func:`default_window_group`)."""
     n = coords_u32.shape[0]
+    # Fragment bookkeeping (gfrag = w*(n//K)+frag) assumes window boundaries
+    # align with K-entry scan fragments; a non-multiple would silently
+    # mis-bucket.  compute_msm pads to 4096; direct callers must pad too.
+    assert n % K == 0, f"n={n} must be a multiple of the scan fragment size {K}"
     w = cfg.num_windows
     nb = cfg.num_buckets
     if window_group == 0:
-        if n <= (1 << 18):
-            cap = w
-        elif n <= (1 << 20):
-            cap = 8
-        elif n <= (1 << 21):
-            cap = 4
-        else:
-            cap = 2       # 2^22 verified at ~13 GB peak on a 16 GB chip
-        window_group = max(d for d in range(1, w + 1) if w % d == 0 and d <= cap)
+        window_group = default_window_group(n, w)
     assert w % window_group == 0
     groups = w // window_group
 
@@ -196,3 +225,63 @@ def msm_window_sums(
     buckets = buckets.reshape(w * nb, TW)
 
     return PB.bpr(buckets, w, interpret=interpret)                   # [W, TW]
+
+
+# ---------------------------------------------------------------------------
+# Staged execution: the same pipeline as a handful of separately compiled
+# programs.  XLA dispatch is asynchronous, so the extra program boundaries
+# cost nothing at runtime, while compile time drops dramatically: the
+# window-group program is compiled once and re-dispatched per group instead
+# of being wrapped in a lax.map inside one giant program (the analogue of the
+# reference compiling 4 small shaders instead of one mega-shader,
+# shader_manager.ts:95-208).
+
+
+@partial(jax.jit, static_argnames=("chunk_size", "interpret"))
+def _stage_table_digits(coords_u32, scalars_u32, chunk_size: int,
+                        interpret: bool | None):
+    cfg = MsmConfig(chunk_size=chunk_size)
+    table = build_table(coords_u32, interpret=interpret)
+    digits = CV.decompose_scalars_signed(scalars_u32, cfg)           # [n, W]
+    return table, digits.T                                           # [W, n]
+
+
+@partial(jax.jit, static_argnames=("nb", "interpret"))
+def _stage_group(table, digits_g, nb: int, interpret: bool | None):
+    return window_group_bucket_sums(table, digits_g, nb, interpret=interpret)
+
+
+@partial(jax.jit, static_argnames=("w", "interpret"))
+def _stage_bpr(buckets, w: int, interpret: bool | None):
+    return PB.bpr(buckets, w, interpret=interpret)
+
+
+def msm_window_sums_staged(
+    coords_u32: jnp.ndarray,
+    scalars_u32: jnp.ndarray,
+    cfg: MsmConfig,
+    window_group: int = 0,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Staged production path: identical result to :func:`msm_window_sums`,
+    executed as (convert+decompose) -> per-window-group program (compiled
+    once, dispatched `groups` times) -> BPR."""
+    n = coords_u32.shape[0]
+    assert n % K == 0, f"n={n} must be a multiple of the scan fragment size {K}"
+    w = cfg.num_windows
+    nb = cfg.num_buckets
+    if window_group == 0:
+        window_group = default_window_group(n, w)
+    assert w % window_group == 0
+    groups = w // window_group
+
+    table, digits_t = _stage_table_digits(
+        coords_u32, scalars_u32, cfg.chunk_size, interpret
+    )
+    group_rows = [
+        _stage_group(table, digits_t[g * window_group:(g + 1) * window_group],
+                     nb, interpret)
+        for g in range(groups)
+    ]
+    buckets = group_rows[0] if groups == 1 else jnp.concatenate(group_rows, axis=0)
+    return _stage_bpr(buckets, w, interpret)                         # [W, TW]

@@ -69,6 +69,7 @@ def compute_msm_multihost(
     from ..models import cuzk
     from .sharded import sharded_window_sums_pallas
 
+    local_scalars = cuzk.reduce_scalars_mod_order(local_scalars)
     mesh = global_mesh()
     axis = mesh.axis_names[0]
     n_global = local_coords.shape[0] * jax.process_count()

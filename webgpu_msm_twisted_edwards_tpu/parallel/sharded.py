@@ -47,15 +47,30 @@ def sharded_window_sums_pallas(
     all_gather and fold with the batched point-add kernel.  Returns replicated
     [W, TW] packed rows."""
     from ..ops import msm_pipeline as MP
+    from ..ops.pallas import scan as PS
+    from ..ops.pallas.bpr import reduce_rows_per_window
     from ..ops.pallas.ec import masked_add_rows
 
     ndev = mesh.devices.size
+    n = coords_u32.shape[0]
+    # The Pallas pipeline's fragment bookkeeping needs the per-shard point
+    # count to be a multiple of K=64 (compute_msm_sharded pads to 4096); a
+    # non-divisible shard would silently mis-bucket, so refuse it here.
+    assert n % (ndev * PS.K) == 0, (
+        f"per-shard size {n}/{ndev} must be a multiple of {PS.K}; "
+        "pad with zero scalars (see compute_msm_sharded)"
+    )
 
     def local_fn(c, s):
         rows = MP.msm_window_sums(c, s, cfg)                  # [W, TW]
         g = jax.lax.all_gather(rows, axis_name)               # [D, W, TW]
+        w = rows.shape[0]
+        if ndev & (ndev - 1) == 0:
+            # Log-depth pairwise fold over the device axis (window-major rows).
+            gw = jnp.swapaxes(g, 0, 1).reshape(w * ndev, g.shape[2])
+            return reduce_rows_per_window(gw, ndev)
         out = g[0]
-        ones = jnp.ones((rows.shape[0],), jnp.int32)
+        ones = jnp.ones((w,), jnp.int32)
         for i in range(1, ndev):
             out = masked_add_rows(out, g[i], ones)
         return out
@@ -145,6 +160,15 @@ def compute_msm_sharded(
         )
     from ..cpu.mirrors import horner
 
+    if pipeline == "pallas" and (n // ndev) % 4096 != 0:
+        # The Pallas pipeline needs per-shard sizes ≡ 0 (mod 4096) — pad
+        # globally with zero scalars (zero digits sort to the sentinel tail
+        # and contribute nothing), exactly like compute_msm's padding.
+        per = max(4096, -(-(n // ndev) // 4096) * 4096)
+        pad = per * ndev - n
+        coords = np.concatenate([coords, np.tile(coords[:1], (pad, 1, 1))], axis=0)
+        sc = np.concatenate([sc, np.zeros((pad, 8), dtype=np.uint32)], axis=0)
+        n = coords.shape[0]
     if pipeline == "pallas":
         fn = _jitted_sharded_pallas(mesh, cfg.chunk_size, mesh.axis_names[0])
         rows = np.asarray(fn(jnp.asarray(coords), jnp.asarray(sc)))
