@@ -139,12 +139,15 @@ def main():
             log(f"  want {want}", jo)
 
     # Headline metric: wall-clock per MSM at this size, steady state.
-    baseline = BASELINE_MS_2E20 * (n / (1 << 20))  # scale baseline linearly for other n
+    # The published baseline point is 2^20 only; MSM cost is super-linear at
+    # small n (fixed overheads), so vs_baseline is reported only at 2^20
+    # rather than scaled linearly (which would overstate it).
+    vs_baseline = round(BASELINE_MS_2E20 / med, 3) if args.n == 20 else None
     out = {
         "metric": f"msm_2^{args.n}_wall_ms",
         "value": round(med, 2),
         "unit": "ms",
-        "vs_baseline": round(baseline / med, 3),
+        "vs_baseline": vs_baseline,
         "compile_ms": round(compile_ms, 1),
         "runs_ms": [round(t, 1) for t in times],
         "msm_per_sec": round(1000.0 / med, 3),

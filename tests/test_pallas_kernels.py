@@ -65,13 +65,16 @@ def test_seg_carry_scan_interpret():
     assert rows_equal_points(out, want)
 
 
-@pytest.mark.skipif(
-    not __import__("os").environ.get("RUN_SLOW"),
-    reason="interpret-mode full pipeline is slow; set RUN_SLOW=1 (covered on TPU by test_pallas_tpu.py)",
-)
-def test_pallas_pipeline_small_interpret():
-    """Full Pallas MSM pipeline at n=512 in interpreter mode vs the python
-    reference sum."""
+def test_pallas_pipeline_end_to_end_interpret():
+    """Full Pallas MSM pipeline (sort -> gather -> segmented scan -> carry ->
+    extraction -> BPR) at n=64/c=8 in jitted interpreter mode vs the python
+    reference sum — default-CI coverage of ops/msm_pipeline's index plumbing
+    without TPU hardware (the larger TPU-compiled runs live in
+    test_pallas_tpu.py).  Jitted: interpret-mode kernels compile once (~4 min
+    on CPU) and the run itself is sub-second."""
+    from functools import partial
+
+    import jax
     import jax.numpy as jnp
 
     from webgpu_msm_twisted_edwards_tpu.models import cuzk
@@ -79,11 +82,14 @@ def test_pallas_pipeline_small_interpret():
     from webgpu_msm_twisted_edwards_tpu.utils.params import MsmConfig
     from webgpu_msm_twisted_edwards_tpu.cpu.mirrors import horner
 
-    n = 512
+    n = 64
     pts, scalars = random_points_scalars(n, seed=7)
+    scalars = list(scalars)
+    scalars[3] = 0          # zero digits must sort to the sentinel tail
     coords, sc = cuzk.prepare_inputs([(p.x, p.y) for p in pts], scalars)
-    cfg = MsmConfig(chunk_size=16)
-    rows = MP.msm_window_sums(jnp.asarray(coords), jnp.asarray(sc), cfg, interpret=True)
+    cfg = MsmConfig(chunk_size=8)
+    fn = jax.jit(partial(MP.msm_window_sums, cfg=cfg, interpret=True))
+    rows = fn(jnp.asarray(coords), jnp.asarray(sc))
     wsums = packed_rows_to_extpoints(np.asarray(rows))
     total = horner(wsums, cfg.chunk_size)
 
@@ -130,12 +136,41 @@ def test_convert_kernel_interpret():
     pts, _ = random_points_scalars(8, seed=14)
     coords, _ = prepare_inputs([p.to_affine() for p in pts], [0] * 8)
     table = np.asarray(PC.build_table(jnp.asarray(coords), interpret=True))
+    from webgpu_msm_twisted_edwards_tpu.utils.params import EDWARDS_D
+
     for i, p in enumerate(pts):
-        for ci, want_plain in enumerate((p.x, p.y, p.x * p.y % PARAMS.p)):
+        # Row layout: x, y, d*t (no plain t — the scan starts segments from
+        # the identity and never needs it).
+        wants = (p.x, p.y, EDWARDS_D * p.x * p.y % PARAMS.p)
+        for ci, want_plain in enumerate(wants):
             got = sum(int(table[i, ci * LIMBS + j]) << (j * W) for j in range(LIMBS))
             assert got % PARAMS.p == PARAMS.to_mont(want_plain), (i, ci)
-        # column 3 holds d*t in Montgomery form
-        from webgpu_msm_twisted_edwards_tpu.utils.params import EDWARDS_D
 
-        got = sum(int(table[i, 3 * LIMBS + j]) << (j * W) for j in range(LIMBS))
-        assert got % PARAMS.p == PARAMS.to_mont(EDWARDS_D * p.x * p.y % PARAMS.p)
+
+def test_fused_scan_matches_gather_scan_interpret():
+    """msm_scan_fused (VMEM-resident table + in-kernel row gather) must be
+    bit-identical to msm_scan over pre-gathered rows."""
+    import jax.numpy as jnp
+
+    from webgpu_msm_twisted_edwards_tpu.ops.pallas import scan as PS
+    from webgpu_msm_twisted_edwards_tpu.utils.params import EDWARDS_D
+
+    pts, _ = random_points_scalars(16, seed=21)
+    table = np.zeros((16, PS.TWR), np.uint32)
+    for i, p in enumerate(pts):
+        for ci, v in enumerate((p.x, p.y, EDWARDS_D * p.x * p.y % PARAMS.p)):
+            m = PARAMS.to_mont(v)
+            for j in range(L):
+                table[i, ci * L + j] = (m >> (W * j)) & PARAMS.mask
+    rng = np.random.default_rng(0)
+    nf = 128
+    pidx = rng.integers(0, 16, size=(PS.K, nf)).astype(np.int32)
+    keys = np.sort(rng.integers(0, 6, size=(PS.K, nf)), axis=0).astype(np.int32)
+    sgn = (rng.random((PS.K, nf)) < 0.4).astype(np.int32)
+    rows = jnp.asarray(table)[pidx.T.reshape(-1)].reshape(nf, PS.K, PS.TWR)
+    a = np.asarray(PS.msm_scan(rows, jnp.asarray(keys), jnp.asarray(sgn), interpret=True))
+    b = np.asarray(PS.msm_scan_fused(
+        jnp.asarray(table), jnp.asarray(pidx), jnp.asarray(keys), jnp.asarray(sgn),
+        interpret=True,
+    ))
+    assert (a == b).all()

@@ -178,3 +178,20 @@ def test_reduce_scalars_mod_order_words():
     # In-domain input is returned unchanged (no copy even).
     sc_ok = L.ints_to_u32_words([1, 2, 3])
     assert cuzk.reduce_scalars_mod_order(sc_ok) is sc_ok
+
+
+def test_smtvp_experiment_matches_naive():
+    """Device SMTVP scatter experiment (ops/smtvp.py — the reference's
+    smtvp.template.wgsl analogue, kept as a measured-rejection benchmark)
+    produces the same MSM as the naive sum."""
+    from webgpu_msm_twisted_edwards_tpu.cpu.mirrors import horner
+    from webgpu_msm_twisted_edwards_tpu.ops.smtvp import smtvp_window_sums
+
+    pts, scalars, coords, sc = _inputs(24, seed=41)
+    cfg = MsmConfig(chunk_size=4)
+    sums = smtvp_window_sums(coords, sc, cfg)
+    import jax
+
+    sums = jax.tree_util.tree_map(np.asarray, sums)
+    total = horner(cuzk.window_sums_to_extpoints(sums), cfg.chunk_size)
+    assert total.to_affine() == naive_msm(pts, scalars).to_affine()

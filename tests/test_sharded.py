@@ -34,3 +34,77 @@ def test_sharded_msm_8_devices():
     got = sharded.compute_msm_sharded(aff, scalars, mesh=mesh, chunk_size=4, bpr_chunks=4)
     want = oracle.msm(aff, scalars)
     assert (got["x"], got["y"]) == want
+
+
+@pytest.mark.skipif(not oracle.available(), reason="liboracle.so not built")
+def test_sharded_pallas_pipeline_virtual_mesh():
+    """The *production* multi-chip path (sharded_window_sums_pallas: per-shard
+    Pallas pipeline + ICI all_gather + log-depth fold) on 4 virtual CPU
+    devices in interpreter mode, verified against the native oracle."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from webgpu_msm_twisted_edwards_tpu.models import cuzk
+    from webgpu_msm_twisted_edwards_tpu.cpu.mirrors import horner
+    from webgpu_msm_twisted_edwards_tpu.utils.params import MsmConfig
+
+    ndev = 4
+    n = ndev * 64                      # per-shard 64 = one K-entry fragment
+    pts, scalars = random_points_scalars(n, seed=73)
+    aff = [p.to_affine() for p in pts]
+    coords, sc = cuzk.prepare_inputs(aff, scalars)
+    mesh = sharded.default_mesh(ndev)
+    cfg = MsmConfig(chunk_size=8)
+
+    fn = jax.jit(partial(
+        sharded.sharded_window_sums_pallas, mesh=mesh, cfg=cfg, axis_name="points"
+    ))
+    rows = np.asarray(fn(jnp.asarray(coords), jnp.asarray(sc)))
+    total = horner(cuzk.packed_rows_to_extpoints(rows), cfg.chunk_size)
+    want = oracle.msm(aff, scalars)
+    assert total.to_affine() == want
+
+
+def test_sharded_pallas_rejects_bad_divisibility():
+    """A shard size not a multiple of the K=64 scan fragment must be refused
+    (it would silently mis-bucket), per the pipeline invariant."""
+    from webgpu_msm_twisted_edwards_tpu.utils.params import MsmConfig
+
+    mesh = sharded.default_mesh(4)
+    coords = np.zeros((4 * 48, 2, 8), np.uint32)
+    sc = np.zeros((4 * 48, 8), np.uint32)
+    with pytest.raises(AssertionError):
+        sharded.sharded_window_sums_pallas(coords, sc, mesh, MsmConfig(chunk_size=8))
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("RUN_SLOW"),
+    reason="two extra interpret-mode pipeline compiles (~8 min CPU); RUN_SLOW=1",
+)
+def test_pallas_zero_scalar_padding_invariance():
+    """Zero-scalar padding (what compute_msm / compute_msm_sharded append to
+    reach the divisibility target) must leave the window sums unchanged:
+    zero digits sort to the sentinel tail and contribute nothing."""
+    import jax.numpy as jnp
+
+    from webgpu_msm_twisted_edwards_tpu.models import cuzk
+    from webgpu_msm_twisted_edwards_tpu.ops import msm_pipeline as MP
+    from webgpu_msm_twisted_edwards_tpu.utils.params import MsmConfig
+
+    pts, scalars = random_points_scalars(64, seed=74)
+    aff = [p.to_affine() for p in pts]
+    coords, sc = cuzk.prepare_inputs(aff, scalars)
+    import jax
+    from functools import partial
+
+    cfg = MsmConfig(chunk_size=8)
+    fn = jax.jit(partial(MP.msm_window_sums, cfg=cfg, interpret=True))
+    base = np.asarray(fn(jnp.asarray(coords), jnp.asarray(sc)))
+    pad = 64
+    coords_p = np.concatenate([coords, np.tile(coords[:1], (pad, 1, 1))], axis=0)
+    sc_p = np.concatenate([sc, np.zeros((pad, 8), np.uint32)], axis=0)
+    padded = np.asarray(fn(jnp.asarray(coords_p), jnp.asarray(sc_p)))
+    got = cuzk.packed_rows_to_extpoints(base)
+    want = cuzk.packed_rows_to_extpoints(padded)
+    assert all(g.to_affine() == w.to_affine() for g, w in zip(got, want))

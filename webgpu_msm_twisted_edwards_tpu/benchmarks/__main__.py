@@ -32,7 +32,7 @@ def main(argv=None):
 
     for name in ("mont", "barrett", "barrett-domb", "convert", "decompose",
                  "data-transfer", "add-points", "scalar-mul", "bucket-reduction",
-                 "horners-rule"):
+                 "horners-rule", "smtvp"):
         sub.add_parser(name, help=f"micro-benchmark: {name}")
 
     args = ap.parse_args(argv)
@@ -61,6 +61,7 @@ def main(argv=None):
             "scalar-mul": micro.scalar_mul,
             "bucket-reduction": micro.bucket_reduction,
             "horners-rule": micro.horners_rule,
+            "smtvp": micro.smtvp,
         }[args.cmd]
         table = fn()
     print()

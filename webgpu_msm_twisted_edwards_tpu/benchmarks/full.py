@@ -20,10 +20,10 @@ from ..utils.params import MsmConfig, tpu_msm_config
 from .timing import Table, median
 
 
-def _inputs_for_power(p: int, seed: int = 20230923):
+def _inputs_for_power(p: int, seed: int = 20230923, base_dir: str | None = None):
     """Fixture inputs if available, else deterministic native-walk inputs."""
-    if test_data.available(p):
-        tc = test_data.load_test_case(p)
+    if test_data.available(p, base_dir):
+        tc = test_data.load_test_case(p, base_dir)
         coords = np.zeros((len(tc.points), 2, 8), dtype=np.uint32)
         for i, (x, y) in enumerate(tc.points):
             for jw in range(8):
@@ -51,32 +51,48 @@ def _inputs_for_power(p: int, seed: int = 20230923):
 
 
 def run(powers=(16, 17, 18, 19, 20), runs: int = 5, csv_path: str | None = None,
-        check: bool = True) -> Table:
+        check: bool = True, base_dir: str | None = None) -> Table:
     import jax
     import jax.numpy as jnp
-    from functools import partial
 
     from ..cpu.mirrors import horner
     from ..models import cuzk
     from ..ops import msm_pipeline as MP
+    from ..utils.params import default_msm_config
 
     table = Table(["n", "inputs", "first run incl. compile (ms)",
                    "median steady (ms)", "runs (ms)", "correct"])
     for p in powers:
-        coords, scalars, expected, src = _inputs_for_power(p)
+        coords, scalars, expected, src = _inputs_for_power(p, base_dir=base_dir)
         n = coords.shape[0]
-        cfg = tpu_msm_config(n)
+        # Same auto-select as compute_msm: staged Pallas pipeline on TPU,
+        # the pure-XLA pipeline elsewhere / at small n.
+        on_tpu = jax.default_backend() == "tpu"
+        cfg = tpu_msm_config(n) if on_tpu and n >= 4096 else default_msm_config(n)
+        use_pallas = on_tpu and cfg.chunk_size >= 8 and n >= 4096
         dcoords = jax.device_put(jnp.asarray(coords))
         dscalars = jax.device_put(jnp.asarray(scalars))
-        fn = jax.jit(partial(MP.msm_window_sums, cfg=cfg))
+        if use_pallas:
+            fn = lambda c, s: MP.msm_window_sums_staged(c, s, cfg)
 
-        def one_run():
-            t0 = time.time()
-            rows = np.asarray(fn(dcoords, dscalars))
-            pts = cuzk.packed_rows_to_extpoints(rows)
-            total = horner(pts, cfg.chunk_size)
-            x, y = total.to_affine()
-            return (x, y), (time.time() - t0) * 1e3
+            def one_run():
+                t0 = time.time()
+                rows = np.asarray(fn(dcoords, dscalars))
+                pts = cuzk.packed_rows_to_extpoints(rows)
+                total = horner(pts, cfg.chunk_size)
+                x, y = total.to_affine()
+                return (x, y), (time.time() - t0) * 1e3
+        else:
+            jfn = cuzk._jitted_pipeline(cfg.chunk_size, 256 if cfg.chunk_size >= 8 else 4)
+
+            def one_run():
+                t0 = time.time()
+                sums = jfn(dcoords, dscalars)
+                sums = jax.tree_util.tree_map(np.asarray, sums)
+                pts = cuzk.window_sums_to_extpoints(sums)
+                total = horner(pts, cfg.chunk_size)
+                x, y = total.to_affine()
+                return (x, y), (time.time() - t0) * 1e3
 
         res, compile_ms = one_run()
         ts = []

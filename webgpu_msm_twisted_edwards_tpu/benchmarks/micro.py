@@ -305,6 +305,62 @@ def dashboard(power: int = 16, runs: int = 1) -> Table:
     return t
 
 
+def smtvp(n: int = 1 << 12, runs: int = 3) -> Table:
+    """Device SMTVP experiment vs the production sorted-scan pipeline
+    (reference analogue: miscellaneous/cuzk/smtvp_wgsl.ts:29-203 racing
+    smtvp.template.wgsl against transpose+SMVP).  EC scatter serializes on
+    TPU (group op, batch width 1), so this documents the measured rejection
+    — see docs/DESIGN.md §6."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import cuzk
+    from ..ops import convert as CVo
+    from ..ops import curve as C
+    from ..ops import field as F
+    from ..ops.smtvp import smtvp_buckets
+    from ..utils.params import MsmConfig
+    from ..utils import oracle
+
+    cfg = MsmConfig(chunk_size=16 if n >= (1 << 16) else 13)
+    rng = np.random.default_rng(0)
+    if oracle.available():
+        pts_u64 = oracle.gen_points(n, seed=1)
+        coords = pts_u64.view(np.uint32).reshape(n, 2, 8)
+    else:
+        coords = rng.integers(0, 1 << 32, size=(n, 2, 8), dtype=np.uint64).astype(np.uint32)
+        coords[:, :, 7] = 0
+    sc = rng.integers(0, 1 << 32, size=(n, 8), dtype=np.uint64).astype(np.uint32)
+    sc[:, 7] &= 0xFFFF
+
+    dcoords = jnp.asarray(coords)
+    dsc = jnp.asarray(sc)
+
+    @jax.jit
+    def one_window_smtvp(coords_u32, scalars_u32):
+        xm, ym, tm = CVo.points_to_mont_limbs(coords_u32, PARAMS)
+        z = jnp.broadcast_to(F.r_limbs(), xm.shape)
+        pts = C.PointXYTZ(xm, ym, tm, z)
+        digits = CVo.decompose_scalars_signed(scalars_u32, cfg)
+        return smtvp_buckets(pts, digits[:, 0], cfg.num_buckets)
+
+    t = Table(["method", "n", "windows", "compile (ms)", "median (ms)", "M (point,window)/s"])
+    comp, ts = time_device(one_window_smtvp, dcoords, dsc, runs=runs)
+    m = median(ts)
+    t.add("smtvp scatter (1 window)", n, 1, round(comp), round(m, 1),
+          round(n / m / 1e3, 3))
+
+    from ..ops import msm_pipeline as MP
+
+    if jax.default_backend() == "tpu":
+        fn = jax.jit(partial(MP.msm_window_sums, cfg=cfg))
+        comp, ts = time_device(fn, dcoords, dsc, runs=runs)
+        m = median(ts)
+        t.add("production sorted scan (all windows)", n, cfg.num_windows,
+              round(comp), round(m, 1), round(n * cfg.num_windows / m / 1e3, 1))
+    return t
+
+
 def horners_rule(runs: int = 3) -> Table:
     """Horner aggregation of the 16 window sums: device (XLA curve ops) vs
     host (python bigints).  The reference benchmarked a GPU Horner shader and

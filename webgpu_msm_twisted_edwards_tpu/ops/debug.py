@@ -63,7 +63,7 @@ def validate_pipeline(points, scalars, chunk_size: int = 16,
         if x is None:
             break
         row = table[i]
-        # Table rows hold x, y, t, d*t as unpacked 13-bit limbs (20 u32 each).
+        # Table rows hold x, y, d*t as unpacked 13-bit limbs (20 u32 each).
         xm = sum(int(row[j]) << (j * PARAMS.word_size) for j in range(PARAMS.num_words))
         assert xm % PARAMS.p == PARAMS.to_mont(x), f"stage 1 convert mismatch at {i}"
     status["convert"] = "ok"

@@ -74,6 +74,7 @@ def window_group_bucket_sums(
     digits_g: jnp.ndarray,
     nb: int,
     interpret: bool | None = None,
+    fused: bool = False,
 ) -> jnp.ndarray:
     """digits_g: [Wg, n] signed window digits for one group of windows.
     Returns packed bucket sums [Wg * nb, TW] (bucket key b holds the sum of
@@ -116,12 +117,21 @@ def window_group_bucket_sums(
         flat_sgn = jnp.concatenate([flat_sgn, jnp.zeros((pad_e,), jnp.int32)])
         flat_pidx = jnp.concatenate([flat_pidx, jnp.zeros((pad_e,), jnp.int32)])
 
-    rows = table[flat_pidx]                                          # [NF*K, TWR]
-    rows = rows.reshape(nf, K, PS.TWR)
     keys_t = flat_keys.reshape(nf, K).T                              # [K, NF]
     sgn_t = flat_sgn.reshape(nf, K).T
 
-    t_scan = PS.msm_scan(rows, keys_t, sgn_t, interpret=interpret)   # [NF, K, TW]
+    if fused:
+        # The table is VMEM-resident inside the kernel; the per-row gather
+        # overlaps the scan compute (callers slice the table so it fits —
+        # see window_group_bucket_sums_sliced).
+        pidx_t = flat_pidx.reshape(nf, K).T                          # [K, NF]
+        t_scan = PS.msm_scan_fused(table, pidx_t, keys_t, sgn_t,
+                                   interpret=interpret)
+    else:
+        rows = table[flat_pidx]                                      # [NF*K, TWR]
+        rows = rows.reshape(nf, K, PS.TWR)
+        t_scan = PS.msm_scan(rows, keys_t, sgn_t, interpret=interpret)
+    # t_scan: [NF, K//2, 2*TW] — step pairs side by side per 128-lane row.
 
     # Cross-fragment carries.  Global keys make runs never span windows.
     gk_frag = flat_gkeys.reshape(nf, K)
@@ -131,7 +141,7 @@ def window_group_bucket_sums(
     cont = (lk == fk_next).astype(jnp.int32)
     single = (fk == lk).astype(jnp.int32)
     a = cont * single
-    sfx = t_scan[:, K - 1, :]                                        # [NF, TW]
+    sfx = t_scan[:, K // 2 - 1, TW:]                                 # [NF, TW]
     ident = jnp.asarray(identity_row_np())
     b = jnp.where((cont != 0)[:, None], sfx, ident[None, :])
     carries = PS.seg_carry_scan(a, b, interpret=interpret)           # [NF, TW]
@@ -140,8 +150,12 @@ def window_group_bucket_sums(
     ends = starts + counts - 1                                       # [Wg, NB]
     ends_c = jnp.clip(ends, 0, n - 1)
     flat_end = (jnp.arange(wg, dtype=jnp.int32)[:, None] * n + ends_c).reshape(-1)
-    t2d = t_scan.reshape(nf * K, TW)
-    tval = t2d[flat_end]                                             # [Wg*NB, TW]
+    # Entry e lives at pair-row e//2, half e%2 (K is even, so e//2 ==
+    # (e//K)*(K//2) + (e%K)//2 — the reshape below is exactly pair-rows).
+    t2d = t_scan.reshape(nf * (K // 2), 2 * TW)
+    pair_rows = t2d[flat_end >> 1]                                   # [Wg*NB, 2*TW]
+    odd = (flat_end & 1) == 1
+    tval = jnp.where(odd[:, None], pair_rows[:, TW:], pair_rows[:, :TW])
 
     frag = ends_c // K                                               # fragment within window? -> global
     gfrag = (jnp.arange(wg, dtype=jnp.int32)[:, None] * (n // K) + frag).reshape(-1)

@@ -39,7 +39,8 @@ def _limbs_from_words(words, num_rows: int):
 
 def _convert_kernel(lblk, consts_ref, words_ref, out_ref):
     """words_ref: [lblk, 16] (x words 0..7, y words 8..15); out_ref
-    [lblk, TW] with x, y, t, d*t as raw limbs at columns 0..79."""
+    [lblk, TW] with x, y, d*t as raw limbs at columns 0..59 (the scan starts
+    segments from the identity, so the plain t = x*y is never stored)."""
     c = load_consts(consts_ref)
     wds = jnp.transpose(words_ref[:])              # [16, lblk]
     x = _limbs_from_words(wds[0:8], 8)
@@ -49,14 +50,14 @@ def _convert_kernel(lblk, consts_ref, words_ref, out_ref):
     ym = mont_mul(y, r2, c.p)
     tm = mont_mul(xm, ym, c.p)
     tdm = mont_mul(tm, jnp.broadcast_to(c.d, x.shape), c.p)
-    pad = jnp.zeros((TW - 4 * L, lblk), jnp.uint32)
-    rows = jnp.concatenate([xm, ym, tm, tdm, pad], axis=0)
+    pad = jnp.zeros((TW - 3 * L, lblk), jnp.uint32)
+    rows = jnp.concatenate([xm, ym, tdm, pad], axis=0)
     out_ref[:, :] = jnp.transpose(rows)
 
 
 def build_table(coords_u32: jnp.ndarray, interpret: bool | None = None) -> jnp.ndarray:
-    """[n, 2, 8] affine coordinate words -> [n, TW] packed Montgomery rows
-    (x, y, t, d*t)."""
+    """[n, 2, 8] affine coordinate words -> [n, TW] Montgomery table rows
+    (x, y, d*t unpacked limbs)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

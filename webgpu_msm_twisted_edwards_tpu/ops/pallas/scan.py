@@ -27,8 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-from .common import L, LP, load_consts, make_consts_array, sweep_many, unpack2
-from .ec import Pt, full_add, madd, pt_identity, pt_pack, pt_select, pt_unpack
+from .common import L, LP, load_consts, make_consts_array, sweep_many
+from .ec import full_add, madd, pt_identity, pt_pack, pt_select, pt_unpack
 
 #: Entries per fragment (scan depth) and fragment-lanes per kernel block.
 K = 64
@@ -36,9 +36,13 @@ LBLK = 256
 
 #: Accumulator/output row width in u32 (packed x,y,t,z + padding).
 TW = 64
-#: Table row width in u32 (x,y,t,td unpacked at cols 0..79 — gathers are
-#: row-count-bound, so the wider rows are free and save the in-kernel limb
-#: interleave; padded to a full (8,128) tile).
+#: Table row width in u32: x, y, d*t unpacked at cols 0..59.  The plain t
+#: coordinate is not stored at all — segments start from the identity and
+#: madd(identity, P) reconstructs the extended form, so the scan only ever
+#: needs (x, y, d*t).  Gathers are row-count-bound, so unpacked rows are free
+#: and save the in-kernel limb interleave.  Width stays a full (8, 128) tile:
+#: narrower rows make the XLA gather *slower* and force relayouts (measured:
+#: TWR=64 cost +12 ms at 2^20 and doubled compile time).
 TWR = 128
 
 
@@ -50,46 +54,126 @@ from .common import interpret_default as _interpret_default  # noqa: E402
 
 
 def _msm_scan_kernel(lblk, consts_ref, rows_ref, keys_ref, sgn_ref, out_ref):
-    """rows_ref: [lblk, K, TWR] gathered table rows (x,y,t,td packed-2);
+    """rows_ref: [lblk, K, TWR] gathered table rows (x, y, d*t unpacked);
     keys_ref/sgn_ref: [K, lblk] bucket keys / negation flags;
-    out_ref: [lblk, K, TW] inclusive in-fragment scan values (x,y,t,z packed).
-    """
+    out_ref: [lblk, K//2, 2*TW] inclusive in-fragment scan values — steps
+    (2i, 2i+1) packed side by side in one 128-lane row (see _msm_scan_body).
+
+    Each new segment starts from the identity and madds its first point into
+    it — the unified hwcd formula is complete, so madd(identity, P)
+    reconstructs P's extended form and the table never needs the plain t
+    coordinate (one select and one negation fewer per step than the
+    fresh-point formulation)."""
+    _msm_scan_body(lblk, consts_ref, lambda j: rows_ref[:, j, 0:3 * L],
+                   keys_ref, sgn_ref, out_ref)
+
+
+def _msm_scan_body(lblk, consts_ref, read_rows, keys_ref, sgn_ref, out_ref):
+    """Shared scan loop: read_rows(j) -> [lblk, >=3*L] slab of table rows for
+    step j (entries on sublanes).
+
+    Output rows are 2*TW=128 lanes wide holding two consecutive steps: a
+    [*, TW=64] output block gets physically padded to 128 lanes by the (8,128)
+    tiling, doubling write traffic — buffering one step and writing pairs at
+    full tiles is worth ~8% of the whole kernel (measured,
+    experiments/scan_out_probe.py)."""
     c = load_consts(consts_ref)
-    zero = jnp.zeros((L, lblk), jnp.uint32)
-    acc0 = Pt(zero, jnp.broadcast_to(c.r, (L, lblk)), zero, jnp.broadcast_to(c.r, (L, lblk)))
+    ident = pt_identity((L, lblk), c)
     key0 = jnp.full((1, lblk), -1, jnp.int32)
     pad = jnp.zeros((TW - 4 * LP, lblk), jnp.uint32)
 
-    def body(j, state):
-        acc, kprev = state
-        slab = jnp.transpose(rows_ref[:, j, 0:4 * L])    # [4*L, LBLK]
+    def step(j, acc, kprev):
+        slab = jnp.transpose(read_rows(j))               # [3*L, lblk]
         x2 = slab[0 * L:1 * L]
         y2 = slab[1 * L:2 * L]
-        t2 = slab[2 * L:3 * L]
-        td2 = slab[3 * L:4 * L]
-        neg = sgn_ref[pl.ds(j, 1), :] != 0                    # [1, LBLK]
+        td2 = slab[2 * L:3 * L]
+        neg = sgn_ref[pl.ds(j, 1), :] != 0                    # [1, lblk]
         q4 = jnp.broadcast_to(c.q4, x2.shape)
-        nx2, nt2, ntd2 = sweep_many([q4 - x2, q4 - t2, q4 - td2])
+        nx2, ntd2 = sweep_many([q4 - x2, q4 - td2])
         x2 = jnp.where(neg, nx2, x2)
-        t2 = jnp.where(neg, nt2, t2)
         td2 = jnp.where(neg, ntd2, td2)
 
         kj = keys_ref[pl.ds(j, 1), :]                         # [1, lblk]
         same = kj == kprev
-        added = madd(acc, x2, y2, td2, c)
-        fresh = Pt(x2, y2, t2, jnp.broadcast_to(c.r, x2.shape))
-        acc = pt_select(same, added, fresh)
-
-        packed = jnp.concatenate([pt_pack(acc), pad], axis=0)   # [TW, LBLK]
-        out_ref[:, j, :] = jnp.transpose(packed)
+        acc = madd(pt_select(same, acc, ident), x2, y2, td2, c)
         return acc, kj
 
-    jax.lax.fori_loop(0, K, body, (acc0, key0))
+    def body(j2, state):
+        acc, kprev = state
+        acc, kprev = step(2 * j2, acc, kprev)
+        even = jnp.concatenate([pt_pack(acc), pad], axis=0)     # [TW, lblk]
+        acc, kprev = step(2 * j2 + 1, acc, kprev)
+        odd = jnp.concatenate([pt_pack(acc), pad], axis=0)
+        out_ref[:, j2, :] = jnp.transpose(jnp.concatenate([even, odd], axis=0))
+        return acc, kprev
+
+    jax.lax.fori_loop(0, K // 2, body, (ident, key0))
+
+
+def _msm_scan_fused_kernel(lblk, consts_ref, pidx_ref, keys_ref, sgn_ref,
+                           table_ref, out_ref, scratch_ref):
+    """Fused gather+scan EXPERIMENT (measured and rejected — kept as the
+    record; see docs/DESIGN.md §6): the whole table slice is VMEM-resident; a
+    per-row dynamic-copy loop stages this block's lblk*K rows into scratch,
+    then the scan loop consumes scratch.  At real scale on v5e the copies run
+    at ~54 M rows/s (slower than XLA's ~80 M rows/s gather from HBM) and do
+    NOT overlap the VPU scan work, so the production path keeps the XLA
+    gather.
+
+    pidx_ref: [K, lblk] int32 in SMEM (row e=j*lblk+f reads table[pidx[j,f]]).
+    table_ref: [ns, TWR] in VMEM.  scratch_ref: [lblk*K, TWR] VMEM."""
+
+    def copy(e, _):
+        idx = pidx_ref[e // lblk, e % lblk]
+        scratch_ref[pl.ds(e, 1), :] = table_ref[pl.ds(idx, 1), :]
+        return 0
+
+    jax.lax.fori_loop(0, lblk * K, copy, 0, unroll=False)
+
+    def read_rows(j):
+        return scratch_ref[pl.ds(j * lblk, lblk), 0:3 * L]
+
+    _msm_scan_body(lblk, consts_ref, read_rows, keys_ref, sgn_ref, out_ref)
+
+
+def msm_scan_fused(table: jnp.ndarray, pidx_t: jnp.ndarray, keys_t: jnp.ndarray,
+                   sgn_t: jnp.ndarray, interpret: bool | None = None) -> jnp.ndarray:
+    """Fused bucket-accumulation scan: gathers rows from the VMEM-resident
+    `table` [ns, TWR] by `pidx_t` [K, NF] while scanning.  Returns T
+    [NF, K//2, 2*TW] (step pairs per row).  ns*TWR*4 bytes must fit VMEM alongside the working set
+    (<= 2^17 rows at TWR=128)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ns = table.shape[0]
+    nf = pidx_t.shape[1]
+    lblk = LBLK
+    while nf % lblk != 0:
+        lblk //= 2
+    grid = (nf // lblk,)
+    consts = jnp.asarray(make_consts_array())
+    return pl.pallas_call(
+        partial(_msm_scan_fused_kernel, lblk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((L, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, lblk), lambda i: (0, i), memory_space=pltpu.SMEM),
+            pl.BlockSpec((K, lblk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, lblk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ns, table.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((lblk, K // 2, 2 * TW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nf, K // 2, 2 * TW), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((lblk * K, table.shape[1]), jnp.uint32)],
+        interpret=_interpret_default(interpret),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+    )(consts, pidx_t, keys_t, sgn_t, table)
 
 
 def msm_scan(rows: jnp.ndarray, keys_t: jnp.ndarray, sgn_t: jnp.ndarray,
              interpret: bool | None = None) -> jnp.ndarray:
-    """rows: [NF, K, TWR]; keys_t, sgn_t: [K, NF].  Returns T: [NF, K, TW]."""
+    """rows: [NF, K, TWR]; keys_t, sgn_t: [K, NF].  Returns T
+    [NF, K//2, 2*TW] — steps (2i, 2i+1) side by side per 128-lane row."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -108,8 +192,8 @@ def msm_scan(rows: jnp.ndarray, keys_t: jnp.ndarray, sgn_t: jnp.ndarray,
             pl.BlockSpec((K, lblk), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((K, lblk), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((lblk, K, TW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nf, K, TW), jnp.uint32),
+        out_specs=pl.BlockSpec((lblk, K // 2, 2 * TW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nf, K // 2, 2 * TW), jnp.uint32),
         interpret=_interpret_default(interpret),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(consts, rows, keys_t, sgn_t)
