@@ -32,7 +32,7 @@ def main(argv=None):
 
     for name in ("mont", "barrett", "barrett-domb", "convert", "decompose",
                  "data-transfer", "add-points", "scalar-mul", "bucket-reduction",
-                 "horners-rule", "smtvp"):
+                 "horners-rule", "smtvp", "stages"):
         sub.add_parser(name, help=f"micro-benchmark: {name}")
 
     args = ap.parse_args(argv)
@@ -62,6 +62,7 @@ def main(argv=None):
             "bucket-reduction": micro.bucket_reduction,
             "horners-rule": micro.horners_rule,
             "smtvp": micro.smtvp,
+            "stages": micro.stages,
         }[args.cmd]
         table = fn()
     print()

@@ -305,6 +305,67 @@ def dashboard(power: int = 16, runs: int = 1) -> Table:
     return t
 
 
+def stages(power: int = 20, runs: int = 3) -> Table:
+    """Per-stage timing of the production pipeline at 2^power (c=16, one
+    window group of 8): sort, gather, scan, BPR — the analogue of the
+    reference's standalone transpose/SMVP stage experiments
+    (reference: miscellaneous/cuzk/transpose_wgsl.ts:20-105,
+    smvp_wgsl.ts:37-203) and the source of docs/DESIGN.md §5's budget."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from ..ops.pallas import bpr as PB
+    from ..ops.pallas import scan as PS
+
+    n = 1 << power
+    wg = 8
+    nb = 1 << 15
+    rng = np.random.default_rng(0)
+    t = Table(["stage", "shape", "compile (ms)", "median (ms)", "rate"])
+
+    # Sort (the transpose analogue): [wg, n] keys + payload.
+    keys = jnp.asarray(rng.integers(0, nb, size=(wg, n), dtype=np.int64).astype(np.int32))
+    idxs = jnp.asarray(np.broadcast_to(np.arange(n, dtype=np.int32), (wg, n)).copy())
+    sort_fn = jax.jit(lambda k, i: lax.sort((k, i), dimension=1, num_keys=1))
+    comp, ts = time_device(sort_fn, keys, idxs, runs=runs)
+    m = median(ts)
+    t.add("sort", f"[{wg}, 2^{power}]", round(comp), round(m, 1),
+          f"{wg * n / m / 1e3:.0f} M entries/s")
+
+    # Row gather (sorted-order permutation): [n, TWR] table, wg*n rows.
+    table = jnp.asarray(rng.integers(0, 1 << 13, size=(n, PS.TWR), dtype=np.int64).astype(np.uint32))
+    gidx = jnp.asarray(rng.integers(0, n, size=(wg * n,), dtype=np.int64).astype(np.int32))
+    gather_fn = jax.jit(lambda tb, ix: tb[ix])
+    comp, ts = time_device(gather_fn, table, gidx, runs=runs)
+    m = median(ts)
+    t.add("gather", f"{wg}*2^{power} rows x {PS.TWR * 4} B", round(comp), round(m, 1),
+          f"{wg * n / m / 1e3:.0f} M rows/s")
+
+    # Segmented scan (the SMVP analogue) over the gathered rows.
+    nf = wg * n // PS.K
+    rows = gather_fn(table, gidx).reshape(nf, PS.K, PS.TWR)
+    skeys = jnp.asarray(np.sort(rng.integers(0, nb, size=(PS.K, nf)).astype(np.int32), axis=0))
+    sgn = jnp.asarray((rng.random((PS.K, nf)) < 0.5).astype(np.int32))
+    scan_fn = jax.jit(lambda r, k, s: PS.msm_scan(r, k, s, interpret=False))
+    comp, ts = time_device(scan_fn, rows, skeys, sgn, runs=runs)
+    m = median(ts)
+    t.add("scan", f"{wg}*2^{power} entries", round(comp), round(m, 1),
+          f"{wg * n / m / 1e3:.0f} M entries/s ({wg * n * 8 / m / 1e3:.0f} M mont/s)")
+
+    # BPR over one full window set (16 windows x 2^15 buckets).
+    w = 16
+    buckets = jnp.asarray(
+        rng.integers(0, 1 << 13, size=(w * nb, PS.TW), dtype=np.int64).astype(np.uint32)
+    )
+    bpr_fn = jax.jit(lambda b: PB.bpr(b, w, interpret=False))
+    comp, ts = time_device(bpr_fn, buckets, runs=runs)
+    m = median(ts)
+    t.add("bpr", f"{w} windows x 2^15 buckets", round(comp), round(m, 1),
+          f"{w * nb / m / 1e3:.0f} M buckets/s")
+    return t
+
+
 def smtvp(n: int = 1 << 12, runs: int = 3) -> Table:
     """Device SMTVP experiment vs the production sorted-scan pipeline
     (reference analogue: miscellaneous/cuzk/smtvp_wgsl.ts:29-203 racing

@@ -177,22 +177,13 @@ def window_group_bucket_sums(
 _STAGING_BYTES_PER_ENTRY = 1300
 
 
-def device_memory_bytes() -> int:
-    """Reported device memory, falling back to the 16 GB of a v5e."""
-    try:
-        stats = jax.devices()[0].memory_stats()
-        if stats and stats.get("bytes_limit"):
-            return int(stats["bytes_limit"])
-    except Exception:
-        pass
-    return 16 * (1 << 30)
-
-
 def default_window_group(n: int, num_windows: int) -> int:
     """Largest divisor of num_windows whose per-group staging fits the
     device-memory budget (reference analogue: the reference splits SMVP into
     num_subtask_chunk_size=4 dispatches for the same reason,
     submission.ts:233-274)."""
+    from ..utils.runtime import device_memory_bytes
+
     budget = int(0.85 * device_memory_bytes())
     cap = max(1, budget // (n * _STAGING_BYTES_PER_ENTRY))
     return max(d for d in range(1, num_windows + 1) if num_windows % d == 0 and d <= cap)

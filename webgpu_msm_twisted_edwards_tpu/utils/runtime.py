@@ -54,6 +54,21 @@ def device_info() -> dict[str, Any]:
     }
 
 
+def device_memory_bytes(default: int = 16 * (1 << 30)) -> int:
+    """Reported device HBM capacity (bytes), falling back to a v5e's 16 GB.
+    Load-bearing: the pipeline derives its window-group memory cap from this
+    (ops/msm_pipeline.py::default_window_group) — the analogue of the
+    reference sizing its dispatches to the 128 MB binding limit
+    (reference: README.md:497-526)."""
+    try:
+        stats = get_device().memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return int(stats["bytes_limit"])
+    except Exception:
+        pass
+    return default
+
+
 def to_device(arr: np.ndarray, device=None):
     """Stage a host array into device HBM once (reference analogue:
     create_and_write_sb, gpu.ts:33-61 — the one bulk host->device write)."""
