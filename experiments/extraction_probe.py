@@ -63,6 +63,14 @@ def main():
 
     timeit("searchsorted [8,2^20]x32769", jax.jit(ss), keys_s)
 
+    def ss_sort(keys_s):
+        queries = jnp.arange(nb + 1, dtype=jnp.int32)
+        return jax.vmap(
+            lambda row: jnp.searchsorted(row, queries, side="left", method="sort")
+        )(keys_s)
+
+    timeit("searchsorted method='sort'", jax.jit(ss_sort), keys_s)
+
     # 2. extraction pair-row gather + half select + masked add.
     nf = wg * n // PS.K
     t2d = jnp.asarray(rng.integers(0, 1 << 13, size=(nf * PS.K // 2, 2 * PS.TW),

@@ -63,5 +63,6 @@ def test_cli_help_lists_all_subcommands():
     assert out.returncode == 0
     for cmd in ("full", "dashboard", "scaling", "trace", "mont", "barrett",
                 "barrett-domb", "convert", "decompose", "data-transfer",
-                "add-points", "scalar-mul", "bucket-reduction", "horners-rule"):
+                "add-points", "scalar-mul", "bucket-reduction", "horners-rule",
+                "smtvp", "stages"):
         assert cmd in out.stdout, cmd

@@ -156,21 +156,27 @@ def test_fused_scan_matches_gather_scan_interpret():
     from webgpu_msm_twisted_edwards_tpu.utils.params import EDWARDS_D
 
     pts, _ = random_points_scalars(16, seed=21)
-    table = np.zeros((16, PS.TWR), np.uint32)
+    table = np.zeros((32, PS.TWR), np.uint32)
     for i, p in enumerate(pts):
         for ci, v in enumerate((p.x, p.y, EDWARDS_D * p.x * p.y % PARAMS.p)):
             m = PARAMS.to_mont(v)
             for j in range(L):
                 table[i, ci * L + j] = (m >> (W * j)) & PARAMS.mask
+        # Pre-negated upper half: (p - x, y, p - td) — any valid negated
+        # representation works for the equivalence check.
+        nx = (PARAMS.p - p.x) % PARAMS.p
+        ntd = (PARAMS.p - EDWARDS_D * p.x * p.y) % PARAMS.p
+        for ci, v in enumerate((nx, p.y, ntd)):
+            m = PARAMS.to_mont(v)
+            for j in range(L):
+                table[16 + i, ci * L + j] = (m >> (W * j)) & PARAMS.mask
     rng = np.random.default_rng(0)
     nf = 128
-    pidx = rng.integers(0, 16, size=(PS.K, nf)).astype(np.int32)
+    pidx = rng.integers(0, 32, size=(PS.K, nf)).astype(np.int32)
     keys = np.sort(rng.integers(0, 6, size=(PS.K, nf)), axis=0).astype(np.int32)
-    sgn = (rng.random((PS.K, nf)) < 0.4).astype(np.int32)
     rows = jnp.asarray(table)[pidx.T.reshape(-1)].reshape(nf, PS.K, PS.TWR)
-    a = np.asarray(PS.msm_scan(rows, jnp.asarray(keys), jnp.asarray(sgn), interpret=True))
+    a = np.asarray(PS.msm_scan(rows, jnp.asarray(keys), interpret=True))
     b = np.asarray(PS.msm_scan_fused(
-        jnp.asarray(table), jnp.asarray(pidx), jnp.asarray(keys), jnp.asarray(sgn),
-        interpret=True,
+        jnp.asarray(table), jnp.asarray(pidx), jnp.asarray(keys), interpret=True,
     ))
     assert (a == b).all()

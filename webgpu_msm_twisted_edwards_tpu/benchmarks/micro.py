@@ -346,9 +346,8 @@ def stages(power: int = 20, runs: int = 3) -> Table:
     nf = wg * n // PS.K
     rows = gather_fn(table, gidx).reshape(nf, PS.K, PS.TWR)
     skeys = jnp.asarray(np.sort(rng.integers(0, nb, size=(PS.K, nf)).astype(np.int32), axis=0))
-    sgn = jnp.asarray((rng.random((PS.K, nf)) < 0.5).astype(np.int32))
-    scan_fn = jax.jit(lambda r, k, s: PS.msm_scan(r, k, s, interpret=False))
-    comp, ts = time_device(scan_fn, rows, skeys, sgn, runs=runs)
+    scan_fn = jax.jit(lambda r, k: PS.msm_scan(r, k, interpret=False))
+    comp, ts = time_device(scan_fn, rows, skeys, runs=runs)
     m = median(ts)
     t.add("scan", f"{wg}*2^{power} entries", round(comp), round(m, 1),
           f"{wg * n / m / 1e3:.0f} M entries/s ({wg * n * 8 / m / 1e3:.0f} M mont/s)")

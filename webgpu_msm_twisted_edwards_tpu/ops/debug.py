@@ -57,7 +57,7 @@ def validate_pipeline(points, scalars, chunk_size: int = 16,
 
     # Stage 1b: Montgomery conversion table (x*R check, like the reference's
     # field_mul(x, r) assertion).
-    table = np.asarray(MP.build_table(jnp.asarray(coords), interpret=interpret))
+    table = np.asarray(MP.build_full_table(jnp.asarray(coords), interpret=interpret))
     for i in (0, n // 2, n - 1):
         x, y = points[i] if not isinstance(points, np.ndarray) else (None, None)
         if x is None:

@@ -3,10 +3,11 @@
 End-to-end re-design of the reference cuZK orchestrator
 (reference: src/submission/submission.ts:73-412) for TPU:
 
-    1. convert (Pallas) + decompose — build the Montgomery point table
-       (XLA)                            (x, y, t, d*t as raw 13-bit limbs)
-                                      and signed window digits.
-    2. sort (XLA lax.sort)          — per window, order (bucket, point, sign);
+    1. convert (Pallas) + decompose — build the doubled Montgomery point
+       (XLA)                            table (x, y, d*t raw limbs; negated
+                                      rows in the upper half) and signed
+                                      window digits.
+    2. sort (XLA lax.sort)          — per window, order (bucket, signed row);
                                       replaces the atomics CSR transpose
                                       (reference: transpose.wgsl:34-74).
     3. gather (XLA)                 — one row gather of table rows into sorted
@@ -63,10 +64,20 @@ def pack_cols(a: jnp.ndarray) -> jnp.ndarray:
 
 def build_table(coords_u32: jnp.ndarray, interpret: bool | None = None) -> jnp.ndarray:
     """[n, 2, 8] affine coordinate words -> [n, TWR] Montgomery table rows
-    (x, y, t=x*y, td=d*t as raw limbs) via the Pallas convert kernel
+    (x, y, d*t as raw limbs) via the Pallas convert kernel
     (reference analogue:
     convert_point_coords_and_decompose_scalars.template.wgsl:39-77)."""
     return PC.build_table(coords_u32, interpret=interpret)
+
+
+def build_full_table(coords_u32: jnp.ndarray, interpret: bool | None = None) -> jnp.ndarray:
+    """[n, 2, 8] -> [2n, TWR]: rows 0..n-1 are the points, rows n..2n-1 their
+    negations (both produced by the convert kernel), so a signed digit's sign
+    rides the gather index (row + n) and the scan kernel needs no per-entry
+    negation (the signed-bucket negation of smvp.template.wgsl:47-56,
+    precomputed once per point instead of per (window, entry))."""
+    rows, neg_rows = PC.build_table_pair(coords_u32, interpret=interpret)
+    return jnp.concatenate([rows, neg_rows], axis=0)
 
 
 def window_group_bucket_sums(
@@ -76,25 +87,29 @@ def window_group_bucket_sums(
     interpret: bool | None = None,
     fused: bool = False,
 ) -> jnp.ndarray:
-    """digits_g: [Wg, n] signed window digits for one group of windows.
+    """digits_g: [Wg, n] signed window digits for one group of windows;
+    table: [2n, TWR] doubled rows (negated points in the upper half).
     Returns packed bucket sums [Wg * nb, TW] (bucket key b holds the sum of
     points with |digit| == b+1, sign applied)."""
     wg, n = digits_g.shape
+    assert table.shape[0] == 2 * n, (table.shape, n)
     d = digits_g
     sign_neg = d < 0
     keys = jnp.where(d == 0, jnp.int32(nb), jnp.abs(d) - 1)          # [Wg, n]
     idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], keys.shape)
-    idxs = jnp.where(sign_neg, idx | np.int32(-2147483648), idx)
+    # The sign selects the pre-negated table half: row index idx + n.
+    idxs = jnp.where(sign_neg, idx + jnp.int32(n), idx)
     keys_s, idxs_s = lax.sort((keys, idxs), dimension=1, num_keys=1)
 
-    # Bucket start offsets / counts (the CSC col_ptr analogue).
+    # Bucket start offsets / counts (the CSC col_ptr analogue).  The default
+    # binary-search method wins here: standalone it looks expensive (~120 ms
+    # at [8, 2^20] x 32769 queries) but XLA fuses it well inside this
+    # program (~50 ms residual), while method="sort" costs a full extra
+    # keyed sort per window (+100 ms end-to-end, measured round 2).
     queries = jnp.arange(nb + 1, dtype=jnp.int32)
     offsets = jax.vmap(lambda row: jnp.searchsorted(row, queries, side="left"))(keys_s)
     starts = offsets[:, :nb]
     counts = offsets[:, 1:] - offsets[:, :nb]
-
-    pidx = idxs_s & np.int32(0x7FFFFFFF)
-    sgn = (idxs_s < 0).astype(jnp.int32)
 
     # One bulk gather into sorted order.  The flattened entry count is padded
     # with sentinel entries (appended after all real windows — their carries
@@ -104,8 +119,7 @@ def window_group_bucket_sums(
     gkeys = keys_s + wofs
     flat_keys = keys_s.reshape(-1)
     flat_gkeys = gkeys.reshape(-1)
-    flat_sgn = sgn.reshape(-1)
-    flat_pidx = pidx.reshape(-1)
+    flat_pidx = idxs_s.reshape(-1)
     total = wg * n
     nf = -(-(total // K) // 128) * 128
     pad_e = nf * K - total
@@ -114,23 +128,18 @@ def window_group_bucket_sums(
         flat_gkeys = jnp.concatenate(
             [flat_gkeys, jnp.full((pad_e,), (wg - 1) * (nb + 2) + nb, jnp.int32)]
         )
-        flat_sgn = jnp.concatenate([flat_sgn, jnp.zeros((pad_e,), jnp.int32)])
         flat_pidx = jnp.concatenate([flat_pidx, jnp.zeros((pad_e,), jnp.int32)])
 
     keys_t = flat_keys.reshape(nf, K).T                              # [K, NF]
-    sgn_t = flat_sgn.reshape(nf, K).T
 
     if fused:
-        # The table is VMEM-resident inside the kernel; the per-row gather
-        # overlaps the scan compute (callers slice the table so it fits —
-        # see window_group_bucket_sums_sliced).
+        # EXPERIMENT path (measured slower; see msm_scan_fused docstring).
         pidx_t = flat_pidx.reshape(nf, K).T                          # [K, NF]
-        t_scan = PS.msm_scan_fused(table, pidx_t, keys_t, sgn_t,
-                                   interpret=interpret)
+        t_scan = PS.msm_scan_fused(table, pidx_t, keys_t, interpret=interpret)
     else:
         rows = table[flat_pidx]                                      # [NF*K, TWR]
         rows = rows.reshape(nf, K, PS.TWR)
-        t_scan = PS.msm_scan(rows, keys_t, sgn_t, interpret=interpret)
+        t_scan = PS.msm_scan(rows, keys_t, interpret=interpret)
     # t_scan: [NF, K//2, 2*TW] — step pairs side by side per 128-lane row.
 
     # Cross-fragment carries.  Global keys make runs never span windows.
@@ -171,10 +180,11 @@ def window_group_bucket_sums(
 
 
 #: Empirical peak device-memory footprint per staged (window, point) entry in
-#: one window group: gather output (512 B physical) + scan output + sort
-#: keys/payloads + XLA copies (measured ~13 GB at 2^22 with window_group=2 ->
-#: ~1550 B/entry; 1300 with a 0.85 budget reproduces the hand-tuned caps).
-_STAGING_BYTES_PER_ENTRY = 1300
+#: one window group: gather output (512 B physical) + scan output (256 B,
+#: pair-packed) + sort keys/payloads + XLA copies.  Round-1 measured ~13 GB
+#: peak at 2^22 with window_group=2; with the doubled table accounted
+#: separately, 1050 B/entry at a 0.85 budget reproduces the same caps.
+_STAGING_BYTES_PER_ENTRY = 1050
 
 
 def default_window_group(n: int, num_windows: int) -> int:
@@ -184,7 +194,8 @@ def default_window_group(n: int, num_windows: int) -> int:
     submission.ts:233-274)."""
     from ..utils.runtime import device_memory_bytes
 
-    budget = int(0.85 * device_memory_bytes())
+    table_bytes = 2 * n * PS.TWR * 4        # doubled (pre-negated) table
+    budget = int(0.85 * device_memory_bytes()) - table_bytes
     cap = max(1, budget // (n * _STAGING_BYTES_PER_ENTRY))
     return max(d for d in range(1, num_windows + 1) if num_windows % d == 0 and d <= cap)
 
@@ -218,7 +229,7 @@ def msm_window_sums(
     assert w % window_group == 0
     groups = w // window_group
 
-    table = build_table(coords_u32, interpret=interpret)
+    table = build_full_table(coords_u32, interpret=interpret)       # [2n, TWR]
     digits = CV.decompose_scalars_signed(scalars_u32, cfg)           # [n, W]
     digits_t = digits.T.reshape(groups, window_group, n)
 
@@ -246,7 +257,7 @@ def msm_window_sums(
 def _stage_table_digits(coords_u32, scalars_u32, chunk_size: int,
                         interpret: bool | None):
     cfg = MsmConfig(chunk_size=chunk_size)
-    table = build_table(coords_u32, interpret=interpret)
+    table = build_full_table(coords_u32, interpret=interpret)       # [2n, TWR]
     digits = CV.decompose_scalars_signed(scalars_u32, cfg)           # [n, W]
     return table, digits.T                                           # [W, n]
 

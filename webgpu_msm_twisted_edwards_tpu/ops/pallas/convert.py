@@ -37,10 +37,14 @@ def _limbs_from_words(words, num_rows: int):
     return jnp.concatenate(rows, axis=0)
 
 
-def _convert_kernel(lblk, consts_ref, words_ref, out_ref):
+def _convert_kernel(lblk, consts_ref, words_ref, out_ref, neg_ref):
     """words_ref: [lblk, 16] (x words 0..7, y words 8..15); out_ref
     [lblk, TW] with x, y, d*t as raw limbs at columns 0..59 (the scan starts
-    segments from the identity, so the plain t = x*y is never stored)."""
+    segments from the identity, so the plain t = x*y is never stored);
+    neg_ref: the negated rows (4p-x, y, 4p-td) for the signed-bucket table
+    half (reference analogue: smvp.template.wgsl:47-56)."""
+    from .common import sweep_many
+
     c = load_consts(consts_ref)
     wds = jnp.transpose(words_ref[:])              # [16, lblk]
     x = _limbs_from_words(wds[0:8], 8)
@@ -51,13 +55,16 @@ def _convert_kernel(lblk, consts_ref, words_ref, out_ref):
     tm = mont_mul(xm, ym, c.p)
     tdm = mont_mul(tm, jnp.broadcast_to(c.d, x.shape), c.p)
     pad = jnp.zeros((TW - 3 * L, lblk), jnp.uint32)
-    rows = jnp.concatenate([xm, ym, tdm, pad], axis=0)
-    out_ref[:, :] = jnp.transpose(rows)
+    out_ref[:, :] = jnp.transpose(jnp.concatenate([xm, ym, tdm, pad], axis=0))
+    q4 = jnp.broadcast_to(c.q4, xm.shape)
+    nxm, ntdm = sweep_many([q4 - xm, q4 - tdm])
+    neg_ref[:, :] = jnp.transpose(jnp.concatenate([nxm, ym, ntdm, pad], axis=0))
 
 
-def build_table(coords_u32: jnp.ndarray, interpret: bool | None = None) -> jnp.ndarray:
-    """[n, 2, 8] affine coordinate words -> [n, TW] Montgomery table rows
-    (x, y, d*t unpacked limbs)."""
+def build_table_pair(coords_u32: jnp.ndarray, interpret: bool | None = None):
+    """[n, 2, 8] affine coordinate words -> (rows, neg_rows), each [n, TW]
+    Montgomery table rows (x, y, d*t unpacked limbs; neg_rows hold the
+    point negations for the signed-bucket table half)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -75,8 +82,20 @@ def build_table(coords_u32: jnp.ndarray, interpret: bool | None = None) -> jnp.n
             pl.BlockSpec((L, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((lblk, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((lblk, TW), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, TW), jnp.uint32),
+        out_specs=[
+            pl.BlockSpec((lblk, TW), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lblk, TW), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, TW), jnp.uint32),
+            jax.ShapeDtypeStruct((n, TW), jnp.uint32),
+        ],
         interpret=_interpret_default(interpret),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(consts, words)
+
+
+def build_table(coords_u32: jnp.ndarray, interpret: bool | None = None) -> jnp.ndarray:
+    """[n, 2, 8] affine coordinate words -> [n, TW] Montgomery table rows
+    (x, y, d*t unpacked limbs)."""
+    return build_table_pair(coords_u32, interpret=interpret)[0]

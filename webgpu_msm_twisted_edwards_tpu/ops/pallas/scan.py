@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-from .common import L, LP, load_consts, make_consts_array, sweep_many
+from .common import L, LP, load_consts, make_consts_array
 from .ec import full_add, madd, pt_identity, pt_pack, pt_select, pt_unpack
 
 #: Entries per fragment (scan depth) and fragment-lanes per kernel block.
@@ -53,22 +53,23 @@ from .common import interpret_default as _interpret_default  # noqa: E402
 # Main scan kernel.
 
 
-def _msm_scan_kernel(lblk, consts_ref, rows_ref, keys_ref, sgn_ref, out_ref):
-    """rows_ref: [lblk, K, TWR] gathered table rows (x, y, d*t unpacked);
-    keys_ref/sgn_ref: [K, lblk] bucket keys / negation flags;
+def _msm_scan_kernel(lblk, consts_ref, rows_ref, keys_ref, out_ref):
+    """rows_ref: [lblk, K, TWR] gathered table rows (x, y, d*t unpacked,
+    pre-negated for signed digits); keys_ref: [K, lblk] bucket keys;
     out_ref: [lblk, K//2, 2*TW] inclusive in-fragment scan values — steps
     (2i, 2i+1) packed side by side in one 128-lane row (see _msm_scan_body).
 
     Each new segment starts from the identity and madds its first point into
     it — the unified hwcd formula is complete, so madd(identity, P)
     reconstructs P's extended form and the table never needs the plain t
-    coordinate (one select and one negation fewer per step than the
-    fresh-point formulation)."""
+    coordinate; signed-bucket negation is pre-applied in the doubled table
+    (ops/msm_pipeline.py::build_full_table), so the step is select + madd
+    only."""
     _msm_scan_body(lblk, consts_ref, lambda j: rows_ref[:, j, 0:3 * L],
-                   keys_ref, sgn_ref, out_ref)
+                   keys_ref, out_ref)
 
 
-def _msm_scan_body(lblk, consts_ref, read_rows, keys_ref, sgn_ref, out_ref):
+def _msm_scan_body(lblk, consts_ref, read_rows, keys_ref, out_ref):
     """Shared scan loop: read_rows(j) -> [lblk, >=3*L] slab of table rows for
     step j (entries on sublanes).
 
@@ -87,11 +88,9 @@ def _msm_scan_body(lblk, consts_ref, read_rows, keys_ref, sgn_ref, out_ref):
         x2 = slab[0 * L:1 * L]
         y2 = slab[1 * L:2 * L]
         td2 = slab[2 * L:3 * L]
-        neg = sgn_ref[pl.ds(j, 1), :] != 0                    # [1, lblk]
-        q4 = jnp.broadcast_to(c.q4, x2.shape)
-        nx2, ntd2 = sweep_many([q4 - x2, q4 - td2])
-        x2 = jnp.where(neg, nx2, x2)
-        td2 = jnp.where(neg, ntd2, td2)
+        # No in-kernel negation: signed digits gather from the pre-negated
+        # half of the doubled table (row index carries the sign), so rows
+        # arrive ready to add.
 
         kj = keys_ref[pl.ds(j, 1), :]                         # [1, lblk]
         same = kj == kprev
@@ -110,7 +109,7 @@ def _msm_scan_body(lblk, consts_ref, read_rows, keys_ref, sgn_ref, out_ref):
     jax.lax.fori_loop(0, K // 2, body, (ident, key0))
 
 
-def _msm_scan_fused_kernel(lblk, consts_ref, pidx_ref, keys_ref, sgn_ref,
+def _msm_scan_fused_kernel(lblk, consts_ref, pidx_ref, keys_ref,
                            table_ref, out_ref, scratch_ref):
     """Fused gather+scan EXPERIMENT (measured and rejected — kept as the
     record; see docs/DESIGN.md §6): the whole table slice is VMEM-resident; a
@@ -133,11 +132,11 @@ def _msm_scan_fused_kernel(lblk, consts_ref, pidx_ref, keys_ref, sgn_ref,
     def read_rows(j):
         return scratch_ref[pl.ds(j * lblk, lblk), 0:3 * L]
 
-    _msm_scan_body(lblk, consts_ref, read_rows, keys_ref, sgn_ref, out_ref)
+    _msm_scan_body(lblk, consts_ref, read_rows, keys_ref, out_ref)
 
 
 def msm_scan_fused(table: jnp.ndarray, pidx_t: jnp.ndarray, keys_t: jnp.ndarray,
-                   sgn_t: jnp.ndarray, interpret: bool | None = None) -> jnp.ndarray:
+                   interpret: bool | None = None) -> jnp.ndarray:
     """Fused bucket-accumulation scan: gathers rows from the VMEM-resident
     `table` [ns, TWR] by `pidx_t` [K, NF] while scanning.  Returns T
     [NF, K//2, 2*TW] (step pairs per row).  ns*TWR*4 bytes must fit VMEM alongside the working set
@@ -159,7 +158,6 @@ def msm_scan_fused(table: jnp.ndarray, pidx_t: jnp.ndarray, keys_t: jnp.ndarray,
             pl.BlockSpec((L, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((K, lblk), lambda i: (0, i), memory_space=pltpu.SMEM),
             pl.BlockSpec((K, lblk), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, lblk), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((ns, table.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((lblk, K // 2, 2 * TW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -167,12 +165,12 @@ def msm_scan_fused(table: jnp.ndarray, pidx_t: jnp.ndarray, keys_t: jnp.ndarray,
         scratch_shapes=[pltpu.VMEM((lblk * K, table.shape[1]), jnp.uint32)],
         interpret=_interpret_default(interpret),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
-    )(consts, pidx_t, keys_t, sgn_t, table)
+    )(consts, pidx_t, keys_t, table)
 
 
-def msm_scan(rows: jnp.ndarray, keys_t: jnp.ndarray, sgn_t: jnp.ndarray,
+def msm_scan(rows: jnp.ndarray, keys_t: jnp.ndarray,
              interpret: bool | None = None) -> jnp.ndarray:
-    """rows: [NF, K, TWR]; keys_t, sgn_t: [K, NF].  Returns T
+    """rows: [NF, K, TWR] (pre-negated); keys_t: [K, NF].  Returns T
     [NF, K//2, 2*TW] — steps (2i, 2i+1) side by side per 128-lane row."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -190,13 +188,12 @@ def msm_scan(rows: jnp.ndarray, keys_t: jnp.ndarray, sgn_t: jnp.ndarray,
             pl.BlockSpec((L, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((lblk, K, rows.shape[-1]), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((K, lblk), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, lblk), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((lblk, K // 2, 2 * TW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nf, K // 2, 2 * TW), jnp.uint32),
         interpret=_interpret_default(interpret),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(consts, rows, keys_t, sgn_t)
+    )(consts, rows, keys_t)
 
 
 # ---------------------------------------------------------------------------
