@@ -64,5 +64,5 @@ def test_cli_help_lists_all_subcommands():
     for cmd in ("full", "dashboard", "scaling", "trace", "mont", "barrett",
                 "barrett-domb", "convert", "decompose", "data-transfer",
                 "add-points", "scalar-mul", "bucket-reduction", "horners-rule",
-                "smtvp", "stages"):
+                "smtvp", "stages", "device-info"):
         assert cmd in out.stdout, cmd

@@ -32,7 +32,7 @@ def main(argv=None):
 
     for name in ("mont", "barrett", "barrett-domb", "convert", "decompose",
                  "data-transfer", "add-points", "scalar-mul", "bucket-reduction",
-                 "horners-rule", "smtvp", "stages"):
+                 "horners-rule", "smtvp", "stages", "device-info"):
         sub.add_parser(name, help=f"micro-benchmark: {name}")
 
     args = ap.parse_args(argv)
@@ -63,6 +63,7 @@ def main(argv=None):
             "horners-rule": micro.horners_rule,
             "smtvp": micro.smtvp,
             "stages": micro.stages,
+            "device-info": micro.device_info_table,
         }[args.cmd]
         table = fn()
     print()

@@ -305,6 +305,23 @@ def dashboard(power: int = 16, runs: int = 1) -> Table:
     return t
 
 
+def device_info_table() -> Table:
+    """Device identity/limits (reference analogue:
+    miscellaneous/print_device_limits.ts:1-29)."""
+    from ..utils.runtime import device_info, device_memory_bytes
+
+    info = device_info()
+    t = Table(["property", "value"])
+    for k in ("backend", "kind", "id", "num_devices", "process_index"):
+        t.add(k, info[k])
+    t.add("memory_bytes", device_memory_bytes())
+    ms = info.get("memory_stats") or {}
+    for k in ("bytes_in_use", "bytes_limit", "peak_bytes_in_use"):
+        if k in ms:
+            t.add(k, ms[k])
+    return t
+
+
 def stages(power: int = 20, runs: int = 3) -> Table:
     """Per-stage timing of the production pipeline at 2^power (c=16, one
     window group of 8): sort, gather, scan, BPR — the analogue of the

@@ -268,7 +268,10 @@ def _stage_group(table, digits_g, nb: int, interpret: bool | None):
 
 
 @partial(jax.jit, static_argnames=("w", "interpret"))
-def _stage_bpr(buckets, w: int, interpret: bool | None):
+def _stage_bpr(group_rows, w: int, interpret: bool | None):
+    """group_rows: tuple of [wg*nb, TW] bucket arrays (one per window group);
+    concatenated inside the program to save a dispatch."""
+    buckets = group_rows[0] if len(group_rows) == 1 else jnp.concatenate(group_rows, axis=0)
     return PB.bpr(buckets, w, interpret=interpret)
 
 
@@ -294,10 +297,9 @@ def msm_window_sums_staged(
     table, digits_t = _stage_table_digits(
         coords_u32, scalars_u32, cfg.chunk_size, interpret
     )
-    group_rows = [
+    group_rows = tuple(
         _stage_group(table, digits_t[g * window_group:(g + 1) * window_group],
                      nb, interpret)
         for g in range(groups)
-    ]
-    buckets = group_rows[0] if groups == 1 else jnp.concatenate(group_rows, axis=0)
-    return _stage_bpr(buckets, w, interpret)                         # [W, TW]
+    )
+    return _stage_bpr(group_rows, w, interpret)                      # [W, TW]

@@ -13,9 +13,11 @@ Total EC-add work is exactly `num_windows * n` mixed adds (the information-
 theoretic minimum for bucket accumulation), independent of the bucket-size
 distribution — unlike thread-per-bucket schemes, load imbalance costs nothing.
 
-Memory layout: each scan step reads one [LBLK, 4*LP] tile of gathered table
-rows and transposes it in-VMEM to the [limb, lane] compute layout; the
-transposes ride the permute unit and are free next to the 8-product EC add.
+Memory layout: each scan step reads one [LBLK, 3*L] tile of gathered table
+rows (pre-negated for signed digits) and transposes it in-VMEM to the
+[limb, lane] compute layout; the transposes ride the permute unit and are
+free next to the 8-product EC add.  Outputs are written two steps per full
+(8, 128) tile to avoid lane-padding write amplification.
 """
 
 from __future__ import annotations
