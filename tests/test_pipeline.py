@@ -195,3 +195,48 @@ def test_smtvp_experiment_matches_naive():
     sums = jax.tree_util.tree_map(np.asarray, sums)
     total = horner(cuzk.window_sums_to_extpoints(sums), cfg.chunk_size)
     assert total.to_affine() == naive_msm(pts, scalars).to_affine()
+
+
+def test_default_window_group_derivation():
+    """The window-group cap derives from reported device memory and
+    reproduces the hand-tuned table on a 16 GB chip (VERDICT #9)."""
+    from unittest import mock
+
+    from webgpu_msm_twisted_edwards_tpu.ops import msm_pipeline as MP
+
+    with mock.patch(
+        "webgpu_msm_twisted_edwards_tpu.utils.runtime.device_memory_bytes",
+        return_value=16 * (1 << 30),
+    ):
+        assert MP.default_window_group(1 << 20, 16) == 8
+        assert MP.default_window_group(1 << 21, 16) == 4
+        assert MP.default_window_group(1 << 22, 16) == 2
+        assert MP.default_window_group(1 << 16, 20) == 20
+    # A smaller chip gets a smaller cap, never zero.
+    with mock.patch(
+        "webgpu_msm_twisted_edwards_tpu.utils.runtime.device_memory_bytes",
+        return_value=4 * (1 << 30),
+    ):
+        assert MP.default_window_group(1 << 20, 16) in (1, 2)
+        assert MP.default_window_group(1 << 22, 16) == 1
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("RUN_SLOW"),
+    reason="compiles the staged interpret pipeline (~4 min CPU); RUN_SLOW=1",
+)
+def test_staged_matches_monolithic_interpret():
+    """msm_window_sums_staged (separately compiled stage programs) must be
+    bit-identical to the monolithic msm_window_sums."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from webgpu_msm_twisted_edwards_tpu.ops import msm_pipeline as MP
+
+    pts, scalars, coords, sc = _inputs(64, seed=55)
+    cfg = MsmConfig(chunk_size=8)
+    mono = jax.jit(partial(MP.msm_window_sums, cfg=cfg, interpret=True))
+    a = np.asarray(mono(coords, sc))
+    b = np.asarray(MP.msm_window_sums_staged(coords, sc, cfg, interpret=True))
+    assert (a == b).all()
