@@ -71,6 +71,20 @@ def main():
 
     timeit("searchsorted method='sort'", jax.jit(ss_sort), keys_s)
 
+    # Alternative: histogram via segment_sum over the sorted keys, then
+    # cumsum -> offsets.  indices_are_sorted lets XLA lower the scatter as a
+    # segmented reduction.
+    def seg_counts(keys_s):
+        ones = jnp.ones(keys_s.shape, jnp.int32)
+        counts = jax.vmap(
+            lambda k, o: jax.ops.segment_sum(
+                o, k, num_segments=nb + 2, indices_are_sorted=True
+            )
+        )(keys_s, ones)
+        return jnp.cumsum(counts, axis=1)
+
+    timeit("segment_sum histogram+cumsum", jax.jit(seg_counts), keys_s)
+
     # 2. extraction pair-row gather + half select + masked add.
     nf = wg * n // PS.K
     t2d = jnp.asarray(rng.integers(0, 1 << 13, size=(nf * PS.K // 2, 2 * PS.TW),
@@ -95,8 +109,8 @@ def main():
     b = jnp.asarray(rng.integers(0, 1 << 13, size=(nf, PS.TW), dtype=np.int64).astype(np.uint32))
     timeit("seg_carry_scan [131072]", jax.jit(partial(PS.seg_carry_scan, kab=PS.K)), a, b)
 
-    # 4. the full group program for the residual.
-    table = jnp.asarray(rng.integers(0, 1 << 13, size=(n, PS.TWR), dtype=np.int64).astype(np.uint32))
+    # 4. the full group program for the residual (doubled pre-negated table).
+    table = jnp.asarray(rng.integers(0, 1 << 13, size=(2 * n, PS.TWR), dtype=np.int64).astype(np.uint32))
     digits_g = jnp.asarray(rng.integers(-(nb), nb, size=(wg, n), dtype=np.int64).astype(np.int32))
     grp = jax.jit(partial(MP.window_group_bucket_sums, nb=nb, interpret=False))
     timeit("full window_group program", grp, table, digits_g)

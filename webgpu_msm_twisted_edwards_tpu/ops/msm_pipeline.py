@@ -101,11 +101,12 @@ def window_group_bucket_sums(
     idxs = jnp.where(sign_neg, idx + jnp.int32(n), idx)
     keys_s, idxs_s = lax.sort((keys, idxs), dimension=1, num_keys=1)
 
-    # Bucket start offsets / counts (the CSC col_ptr analogue).  The default
-    # binary-search method wins here: standalone it looks expensive (~120 ms
-    # at [8, 2^20] x 32769 queries) but XLA fuses it well inside this
-    # program (~50 ms residual), while method="sort" costs a full extra
-    # keyed sort per window (+100 ms end-to-end, measured round 2).
+    # Bucket start offsets / counts (the CSC col_ptr analogue).  The
+    # binary-search searchsorted wins *in-program*: measured end-to-end at
+    # 2^20 it costs ~50 ms/group fused, vs +100 ms for method="sort" (a full
+    # extra keyed sort per window) and +60 ms for a segment_sum histogram +
+    # cumsum — standalone micro numbers mislead here (123/85/73 ms resp.);
+    # see experiments/extraction_probe.py.
     queries = jnp.arange(nb + 1, dtype=jnp.int32)
     offsets = jax.vmap(lambda row: jnp.searchsorted(row, queries, side="left"))(keys_s)
     starts = offsets[:, :nb]
