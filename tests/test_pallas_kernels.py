@@ -99,6 +99,38 @@ def test_pallas_pipeline_end_to_end_interpret():
     assert total.to_affine() == want.to_affine()
 
 
+def test_pallas_pipeline_adversarial_skew_interpret():
+    """All-equal scalars put every (window, point) entry in one bucket, so
+    bucket runs span many K=64 fragments — the cross-fragment carry scan is
+    the trickiest logic in the pipeline and random scalars rarely exercise it
+    at CI sizes.  Reuses the exact shapes of the end-to-end test above, so
+    the jitted interpret programs are already compiled in this process."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from webgpu_msm_twisted_edwards_tpu.models import cuzk
+    from webgpu_msm_twisted_edwards_tpu.ops import msm_pipeline as MP
+    from webgpu_msm_twisted_edwards_tpu.utils.params import MsmConfig
+    from webgpu_msm_twisted_edwards_tpu.cpu.mirrors import horner
+
+    n = 64
+    pts, _ = random_points_scalars(n, seed=7)
+    s = 0x0123456789ABCDEF0123456789ABCDEF0123456789ABCDEF0123456789ABCD
+    scalars = [s] * n
+    coords, sc = cuzk.prepare_inputs([(p.x, p.y) for p in pts], scalars)
+    cfg = MsmConfig(chunk_size=8)
+    fn = jax.jit(partial(MP.msm_window_sums, cfg=cfg, interpret=True))
+    rows = fn(jnp.asarray(coords), jnp.asarray(sc))
+    total = horner(packed_rows_to_extpoints(np.asarray(rows)), cfg.chunk_size)
+
+    want = ExtPoint(0, 1, 0, 1)
+    for p in pts:
+        want = want.add(p.mul(s))
+    assert total.to_affine() == want.to_affine()
+
+
 def test_bpr_kernels_interpret():
     """BPR stage-1/stage-2/fold vs the CPU running-sum mirror at a tiny size
     (reference mirror: miscellaneous/bpr.ts)."""
