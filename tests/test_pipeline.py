@@ -240,3 +240,33 @@ def test_staged_matches_monolithic_interpret():
     a = np.asarray(mono(coords, sc))
     b = np.asarray(MP.msm_window_sums_staged(coords, sc, cfg, interpret=True))
     assert (a == b).all()
+
+
+def test_compute_msm_batch_matches_single():
+    """compute_msm_batch (one point set, many scalar vectors — table reused)
+    must agree element-wise with one-shot compute_msm."""
+    from webgpu_msm_twisted_edwards_tpu.models.cuzk import compute_msm_batch
+
+    pts, s0, _, _ = _inputs(32, seed=61)
+    _, s1, _, _ = _inputs(32, seed=62)
+    aff = [(p.x, p.y) for p in pts]
+    batch = compute_msm_batch(aff, [s0, s1], chunk_size=4)
+    for sc, got in zip((s0, s1), batch):
+        want = cuzk.compute_msm(aff, sc, chunk_size=4, bpr_chunks=4)
+        assert got == want
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("RUN_SLOW"),
+    reason="compiles the staged interpret pipeline (~4 min CPU); RUN_SLOW=1",
+)
+def test_compute_msm_batch_pallas_interpret():
+    from webgpu_msm_twisted_edwards_tpu.models.cuzk import compute_msm_batch
+
+    pts, s0, _, _ = _inputs(64, seed=63)
+    _, s1, _, _ = _inputs(64, seed=64)
+    aff = [(p.x, p.y) for p in pts]
+    batch = compute_msm_batch(aff, [s0, s1], chunk_size=8, interpret=True)
+    for sc, got in zip((s0, s1), batch):
+        want = naive_msm(pts, sc).to_affine()
+        assert (got["x"], got["y"]) == want

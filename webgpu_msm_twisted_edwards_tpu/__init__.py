@@ -9,7 +9,7 @@ reduction — over 13-bit-limb Montgomery field arithmetic, scaled across chips
 with jax.sharding.
 """
 
-from .models.cuzk import compute_msm
+from .models.cuzk import compute_msm, compute_msm_batch
 from .utils.params import EDWARDS_A, EDWARDS_D, P, PARAMS, SUBGROUP_ORDER, MsmConfig
 
 
@@ -29,6 +29,7 @@ def validate_pipeline(points, scalars, **kwargs):
 
 __all__ = [
     "compute_msm",
+    "compute_msm_batch",
     "compute_msm_sharded",
     "validate_pipeline",
     "P",

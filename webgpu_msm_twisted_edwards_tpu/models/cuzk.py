@@ -249,3 +249,57 @@ def compute_msm(
     if log_result:
         print({"x": x, "y": y})
     return {"x": x, "y": y}
+
+
+def compute_msm_batch(
+    points: Sequence[tuple[int, int]] | np.ndarray,
+    scalars_list: Sequence,
+    chunk_size: int | None = None,
+    interpret: bool | None = None,
+) -> list[dict[str, int]]:
+    """Many MSMs over ONE point set (the production-proving pattern: a fixed
+    SRS, one MSM per polynomial).  The Montgomery point table is converted
+    once and reused; every device dispatch is issued before any result is
+    fetched, so the MSMs pipeline back-to-back on the device.
+
+    Returns one {x, y} per scalar vector — element i equals
+    compute_msm(points, scalars_list[i]).  (New capability: the reference
+    exposes only the one-shot compute_msm, submission.ts:73-78.)"""
+    import jax
+
+    from ..ops import msm_pipeline as MP
+
+    coords, _ = prepare_inputs(points, [])
+    n = coords.shape[0]
+    scs = [
+        reduce_scalars_mod_order(
+            sc if isinstance(sc, np.ndarray) and sc.dtype == np.uint32
+            else L.ints_to_u32_words(list(sc))
+        )
+        for sc in scalars_list
+    ]
+    if chunk_size is None:
+        cfg = tpu_msm_config(n) if jax.default_backend() == "tpu" and n >= 4096 else default_msm_config(n)
+    else:
+        cfg = MsmConfig(chunk_size=chunk_size)
+    use_pallas = jax.default_backend() == "tpu" and cfg.chunk_size >= 8 and n >= 512
+    if not use_pallas and interpret is None:
+        # CPU/interpret path: fall back to one-shot calls (still correct).
+        return [
+            compute_msm(coords, sc, chunk_size=cfg.chunk_size) for sc in scs
+        ]
+    target = max(4096, -(-n // 4096) * 4096)
+    if target != n:
+        pad = target - n
+        coords = np.concatenate([coords, np.tile(coords[:1], (pad, 1, 1))], axis=0)
+        scs = [np.concatenate([sc, np.zeros((pad, 8), np.uint32)], axis=0) for sc in scs]
+    rows_list = MP.msm_window_sums_batch(
+        jnp.asarray(coords), [jnp.asarray(sc) for sc in scs], cfg,
+        interpret=interpret,
+    )
+    results = []
+    for rows in rows_list:                      # fetch after issuing all
+        pts = packed_rows_to_extpoints(np.asarray(rows))
+        x, y = horner(pts, cfg.chunk_size).to_affine()
+        results.append({"x": x, "y": y})
+    return results

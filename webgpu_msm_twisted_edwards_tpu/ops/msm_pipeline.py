@@ -304,3 +304,53 @@ def msm_window_sums_staged(
         for g in range(groups)
     )
     return _stage_bpr(group_rows, w, interpret)                      # [W, TW]
+
+
+@partial(jax.jit, static_argnames=("chunk_size", "interpret"))
+def _stage_digits_only(scalars_u32, chunk_size: int, interpret: bool | None):
+    cfg = MsmConfig(chunk_size=chunk_size)
+    return CV.decompose_scalars_signed(scalars_u32, cfg).T           # [W, n]
+
+
+def msm_window_sums_batch(
+    coords_u32: jnp.ndarray,
+    scalars_u32_list,
+    cfg: MsmConfig,
+    window_group: int = 0,
+    interpret: bool | None = None,
+) -> list:
+    """Batched MSMs over ONE point set and many scalar vectors — the
+    production-proving pattern (a fixed SRS, one MSM per committed
+    polynomial).  The doubled Montgomery table is built once and reused by
+    every MSM; all per-MSM dispatches are issued asynchronously, so device
+    work pipelines back-to-back.  Returns a list of [W, TW] packed
+    window-sum arrays (fetch them after issuing everything).
+
+    The reference has no batch entry point (one compute_msm per call,
+    submission.ts:73); this is a new capability enabled by the staged
+    pipeline."""
+    n = coords_u32.shape[0]
+    assert n % K == 0, f"n={n} must be a multiple of the scan fragment size {K}"
+    w = cfg.num_windows
+    nb = cfg.num_buckets
+    if window_group == 0:
+        window_group = default_window_group(n, w)
+    assert w % window_group == 0
+    groups = w // window_group
+
+    table = _stage_table(coords_u32, interpret)
+    outs = []
+    for sc in scalars_u32_list:
+        digits_t = _stage_digits_only(sc, cfg.chunk_size, interpret)
+        group_rows = tuple(
+            _stage_group(table, digits_t[g * window_group:(g + 1) * window_group],
+                         nb, interpret)
+            for g in range(groups)
+        )
+        outs.append(_stage_bpr(group_rows, w, interpret))
+    return outs
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _stage_table(coords_u32, interpret: bool | None):
+    return build_full_table(coords_u32, interpret=interpret)
