@@ -238,7 +238,7 @@ def test_staged_matches_monolithic_interpret():
     cfg = MsmConfig(chunk_size=8)
     mono = jax.jit(partial(MP.msm_window_sums, cfg=cfg, interpret=True))
     a = np.asarray(mono(coords, sc))
-    b = np.asarray(MP.msm_window_sums_staged(coords, sc, cfg, interpret=True))
+    b = np.asarray(MP.msm_window_sums_staged(coords, sc, cfg, interpret=True, _force_staged=True))
     assert (a == b).all()
 
 

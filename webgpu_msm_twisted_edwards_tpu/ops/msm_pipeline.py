@@ -276,18 +276,36 @@ def _stage_bpr(group_rows, w: int, interpret: bool | None):
     return PB.bpr(buckets, w, interpret=interpret)
 
 
+#: Strictly below this size the whole pipeline runs as ONE compiled program:
+#: the staged split's extra dispatches cost ~2-4 ms (measured 50.2 -> 47.9 ms
+#: at 2^12) while small-shape compiles are cheap (~20-40 s).  At 2^16+ the
+#: two are within noise and the split's compile savings win (1025 s ->
+#: ~150 s at 2^20).
+_MONOLITHIC_MAX_N = 1 << 16
+
+
+@partial(jax.jit, static_argnames=("chunk_size", "interpret"))
+def _mono_pipeline(coords_u32, scalars_u32, chunk_size: int, interpret: bool | None):
+    return msm_window_sums(coords_u32, scalars_u32,
+                           MsmConfig(chunk_size=chunk_size), interpret=interpret)
+
+
 def msm_window_sums_staged(
     coords_u32: jnp.ndarray,
     scalars_u32: jnp.ndarray,
     cfg: MsmConfig,
     window_group: int = 0,
     interpret: bool | None = None,
+    _force_staged: bool = False,
 ) -> jnp.ndarray:
     """Staged production path: identical result to :func:`msm_window_sums`,
     executed as (convert+decompose) -> per-window-group program (compiled
-    once, dispatched `groups` times) -> BPR."""
+    once, dispatched `groups` times) -> BPR.  Small inputs run monolithic
+    (see _MONOLITHIC_MAX_N); _force_staged is for equivalence tests."""
     n = coords_u32.shape[0]
     assert n % K == 0, f"n={n} must be a multiple of the scan fragment size {K}"
+    if n < _MONOLITHIC_MAX_N and window_group == 0 and not _force_staged:
+        return _mono_pipeline(coords_u32, scalars_u32, cfg.chunk_size, interpret)
     w = cfg.num_windows
     nb = cfg.num_buckets
     if window_group == 0:
