@@ -82,7 +82,9 @@ def test_two_process_distributed_msm(tmp_path):
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=600)
+        # The interpret-mode shard pipeline compiles ~5-8 min per process
+        # on CPU, longer when the machine is loaded.
+        out, _ = p.communicate(timeout=1500)
         outs.append(out)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-3000:]
