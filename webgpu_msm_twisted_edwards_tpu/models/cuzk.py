@@ -171,7 +171,8 @@ def _clear_pallas_pipeline_caches():
     """Drop the staged pipeline's compiled programs (force_recompile)."""
     from ..ops import msm_pipeline as MP
 
-    for fn in (MP._stage_table_digits, MP._stage_group, MP._stage_bpr):
+    for fn in (MP._stage_table_digits, MP._stage_group, MP._stage_bpr,
+               MP._stage_table, MP._stage_digits_only, MP._mono_pipeline):
         fn.clear_cache()
 
 
