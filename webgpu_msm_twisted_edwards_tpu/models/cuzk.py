@@ -192,6 +192,12 @@ def compute_msm(
     `compute_msm(baseAffinePoints, scalars) -> {x, y}`
     (reference: submission.ts:73-78).
 
+    Points are assumed to lie in the prime-order subgroup (as all ZPrize
+    fixture points do).  Scalars >= the subgroup order are reduced mod the
+    order — correct for subgroup points (k*P == (k mod r)*P) but NOT for
+    points with a cofactor component; the reference instead throws on such
+    scalars (miscellaneous/utils.ts:81-84).  See `reduce_scalars_mod_order`.
+
     Two device paths:
     - the production Pallas pipeline (sorted segmented-scan; ops/msm_pipeline)
       for c=16 and n >= 512 — used automatically on TPU;
@@ -265,7 +271,11 @@ def compute_msm_batch(
 
     Returns one {x, y} per scalar vector — element i equals
     compute_msm(points, scalars_list[i]).  (New capability: the reference
-    exposes only the one-shot compute_msm, submission.ts:73-78.)"""
+    exposes only the one-shot compute_msm, submission.ts:73-78.)
+
+    Same subgroup-point assumption as `compute_msm`: scalars >= the subgroup
+    order are reduced mod the order, which is only k*P-preserving for points
+    in the prime-order subgroup."""
     import jax
 
     from ..ops import msm_pipeline as MP
@@ -284,8 +294,10 @@ def compute_msm_batch(
     else:
         cfg = MsmConfig(chunk_size=chunk_size)
     use_pallas = jax.default_backend() == "tpu" and cfg.chunk_size >= 8 and n >= 512
-    if not use_pallas and interpret is None:
-        # CPU/interpret path: fall back to one-shot calls (still correct).
+    if not use_pallas and not interpret:
+        # Off-TPU (and not explicitly interpreting): fall back to one-shot
+        # calls (still correct).  Covers both interpret=None and an explicit
+        # interpret=False, which must not try to compile Pallas off-TPU.
         return [
             compute_msm(coords, sc, chunk_size=cfg.chunk_size) for sc in scs
         ]

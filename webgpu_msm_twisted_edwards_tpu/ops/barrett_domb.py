@@ -124,6 +124,14 @@ def barrett_domb_mul(x: jnp.ndarray, y: jnp.ndarray, params: FieldParams = PARAM
 
     # Conditional subtractions (the reference loops while r > p and may
     # return the unreduced representative p; we fully reduce to [0, p)).
+    # Three iterations suffice because the Domb quotient estimate drops at
+    # most 2 multiples of p (l underestimates ab/p by < 2 for z >= 1 — the
+    # msb-multiply truncation error plus the floor; Domb 2019 §3), so the
+    # remainder is < 3p before correction and one extra iteration is margin.
+    # Re-derive this bound before changing w, z, or the msb_mul truncation.
+    assert params.num_words * params.word_size - params.p.bit_length() >= 1, (
+        "Domb remainder bound (r < 3p) assumes slack z >= 1"
+    )
     for _ in range(3):
         ge = jnp.ones_like(r[..., 0], dtype=jnp.bool_)
         for i in range(L):

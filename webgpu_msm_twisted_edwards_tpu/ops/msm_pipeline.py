@@ -38,6 +38,7 @@ from ..utils.params import PARAMS, MsmConfig
 from . import convert as CV
 from .pallas import bpr as PB
 from .pallas import convert as PC
+from .pallas import hist as HG
 from .pallas import scan as PS
 from .pallas.common import LP, int_to_limbs
 from .pallas.ec import masked_add_rows
@@ -101,16 +102,24 @@ def window_group_bucket_sums(
     idxs = jnp.where(sign_neg, idx + jnp.int32(n), idx)
     keys_s, idxs_s = lax.sort((keys, idxs), dimension=1, num_keys=1)
 
-    # Bucket start offsets / counts (the CSC col_ptr analogue).  The
-    # binary-search searchsorted wins *in-program*: measured end-to-end at
-    # 2^20 it costs ~50 ms/group fused, vs +100 ms for method="sort" (a full
-    # extra keyed sort per window) and +60 ms for a segment_sum histogram +
-    # cumsum — standalone micro numbers mislead here (123/85/73 ms resp.);
-    # see experiments/extraction_probe.py.
-    queries = jnp.arange(nb + 1, dtype=jnp.int32)
-    offsets = jax.vmap(lambda row: jnp.searchsorted(row, queries, side="left"))(keys_s)
-    starts = offsets[:, :nb]
-    counts = offsets[:, 1:] - offsets[:, :nb]
+    # Bucket end positions / counts (the CSC col_ptr analogue).  Derived from
+    # an MXU one-hot-matmul histogram (ops/pallas/hist.py) + cumsum — at 2^20
+    # this replaced a ~50 ms/group vectorized binary-search searchsorted
+    # (round-2's best XLA formulation; method="sort" and segment_sum measured
+    # worse still — see experiments/extraction_probe.py history in
+    # docs/DESIGN.md §5).  The histogram is order-independent, so it reads
+    # the pre-sort keys and XLA can schedule it independently of the sort.
+    if nb % 128 == 0:
+        counts = HG.bucket_counts(keys, nb, interpret=interpret)     # [Wg, nb]
+        ends = jnp.cumsum(counts, axis=1) - 1                        # [Wg, nb]
+    else:
+        # Tiny windows (c < 8, off the production gate): binary search.
+        queries = jnp.arange(nb + 1, dtype=jnp.int32)
+        offsets = jax.vmap(
+            lambda row: jnp.searchsorted(row, queries, side="left")
+        )(keys_s)
+        counts = offsets[:, 1:] - offsets[:, :nb]
+        ends = offsets[:, 1:] - 1
 
     # One bulk gather into sorted order.  The flattened entry count is padded
     # with sentinel entries (appended after all real windows — their carries
@@ -157,7 +166,6 @@ def window_group_bucket_sums(
     carries = PS.seg_carry_scan(a, b, interpret=interpret)           # [NF, TW]
 
     # Extraction at segment ends.
-    ends = starts + counts - 1                                       # [Wg, NB]
     ends_c = jnp.clip(ends, 0, n - 1)
     flat_end = (jnp.arange(wg, dtype=jnp.int32)[:, None] * n + ends_c).reshape(-1)
     # Entry e lives at pair-row e//2, half e%2 (K is even, so e//2 ==

@@ -131,6 +131,42 @@ def _jitted_sharded_pallas(mesh: Mesh, chunk_size: int, axis_name: str):
     return jax.jit(fn)
 
 
+def sharded_msm_plan(
+    n: int,
+    ndev: int,
+    chunk_size: int | None = None,
+    pipeline: str | None = None,
+    backend: str | None = None,
+) -> tuple[MsmConfig, str]:
+    """Window size + pipeline choice for a sharded MSM.
+
+    Window sizing follows the PER-SHARD point count (each shard runs the full
+    local pipeline on n/ndev points), so a 2^21 MSM on 8 chips inherits the
+    measured single-chip tuning for 2^18 (c=13), not the global-size choice.
+    Any c >= 8 runs the Pallas kernels (same gate as compute_msm); c=16-only
+    gating would silently route tuned c=13 configs to the slow XLA pipeline.
+    """
+    from ..utils.params import tpu_msm_config
+
+    if backend is None:
+        backend = jax.default_backend()
+    n_shard = n // ndev
+    if chunk_size is None:
+        if backend == "tpu" and n_shard >= 4096:
+            cfg = tpu_msm_config(n_shard)
+        else:
+            cfg = default_msm_config(n_shard)
+    else:
+        cfg = MsmConfig(chunk_size=chunk_size)
+    if pipeline is None:
+        pipeline = (
+            "pallas"
+            if backend == "tpu" and cfg.chunk_size >= 8 and n_shard >= 512
+            else "xla"
+        )
+    return cfg, pipeline
+
+
 def compute_msm_sharded(
     points: Sequence[tuple[int, int]] | np.ndarray,
     scalars: Sequence[int] | np.ndarray,
@@ -144,20 +180,16 @@ def compute_msm_sharded(
 
     pipeline: "pallas" (production kernels, TPU) or "xla" (the pure-XLA
     pipeline, also usable on the virtual CPU mesh).  Default: pallas on TPU
-    for c=16 shards of >= 512 points, else xla."""
+    for c>=8 shards of >= 512 points, else xla."""
     coords, sc = cuzk.prepare_inputs(points, scalars)
     n = coords.shape[0]
     if mesh is None:
         mesh = default_mesh()
     ndev = mesh.devices.size
     assert n % ndev == 0, f"n={n} must be divisible by mesh size {ndev}"
-    cfg = default_msm_config(n) if chunk_size is None else MsmConfig(chunk_size=chunk_size)
-    if pipeline is None:
-        pipeline = (
-            "pallas"
-            if jax.default_backend() == "tpu" and cfg.chunk_size == 16 and n // ndev >= 512
-            else "xla"
-        )
+    cfg, pipeline = sharded_msm_plan(
+        n, ndev, chunk_size=chunk_size, pipeline=pipeline
+    )
     from ..cpu.mirrors import horner
 
     if pipeline == "pallas" and (n // ndev) % 4096 != 0:

@@ -54,12 +54,17 @@ def device_info() -> dict[str, Any]:
     }
 
 
-def device_memory_bytes(default: int = 16 * (1 << 30)) -> int:
-    """Reported device HBM capacity (bytes), falling back to a v5e's 16 GB.
-    Load-bearing: the pipeline derives its window-group memory cap from this
+def device_memory_bytes(default: int = 8 * (1 << 30)) -> int:
+    """Reported device HBM capacity (bytes).  Load-bearing: the pipeline
+    derives its window-group memory cap from this
     (ops/msm_pipeline.py::default_window_group) — the analogue of the
     reference sizing its dispatches to the 128 MB binding limit
-    (reference: README.md:497-526)."""
+    (reference: README.md:497-526).
+
+    When the runtime reports no memory stats the fallback is a conservative
+    8 GB (half a v5e): over-estimating risks an OOM mid-pipeline, while
+    under-estimating only splits the work into more window groups (a few ms
+    of extra dispatches)."""
     try:
         stats = get_device().memory_stats()
         if stats and stats.get("bytes_limit"):
