@@ -90,9 +90,9 @@ def main():
     from webgpu_msm_twisted_edwards_tpu.ops.pallas import hist as HG
 
     for dtype, label in ((jnp.bfloat16, "bf16"), (jnp.int8, "int8")):
-        for block in (1024, 2048, 4096):
+        for block in (256, 512, 1024):
             def mm(keys_s, dtype=dtype, block=block):
-                counts = HG.bucket_counts(keys_s, nb, block=block, dtype=dtype,
+                counts = HG.bucket_counts(keys_s, nb, lanes=block, dtype=dtype,
                                           interpret=False)
                 return jnp.cumsum(counts, axis=1) - 1
             timeit(f"matmul hist {label} T={block}", jax.jit(mm), keys_s)

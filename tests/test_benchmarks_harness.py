@@ -61,8 +61,24 @@ def test_cli_help_lists_all_subcommands():
         env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
     )
     assert out.returncode == 0
-    for cmd in ("full", "dashboard", "scaling", "trace", "mont", "barrett",
-                "barrett-domb", "convert", "decompose", "data-transfer",
-                "add-points", "scalar-mul", "bucket-reduction", "horners-rule",
-                "smtvp", "stages", "device-info"):
+    for cmd in ("full", "dashboard", "batch", "scaling", "trace", "mont",
+                "barrett", "barrett-domb", "convert", "decompose",
+                "data-transfer", "add-points", "scalar-mul",
+                "bucket-reduction", "horners-rule", "smtvp", "stages",
+                "device-info"):
         assert cmd in out.stdout, cmd
+
+
+def test_run_batch_small():
+    """`benchmarks batch` end-to-end at a tiny size: batch and one-shot agree
+    and the oracle spot-check passes (full protocol, CPU backend)."""
+    from webgpu_msm_twisted_edwards_tpu.benchmarks.full import run_batch
+    from webgpu_msm_twisted_edwards_tpu.utils import oracle
+
+    if not oracle.available():
+        import pytest
+
+        pytest.skip("liboracle.so not built")
+    table = run_batch(power=8, k=2)
+    row = table.rows[0]
+    assert row[-1] == "yes", row

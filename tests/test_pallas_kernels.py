@@ -229,7 +229,7 @@ def test_bucket_counts_matmul_interpret():
     keys[1, :] = nb            # all sentinels -> all-zero counts
     for dtype in (jnp.bfloat16, jnp.float32, jnp.int8):
         got = np.asarray(
-            HG.bucket_counts(jnp.asarray(keys), nb, block=128, dtype=dtype,
+            HG.bucket_counts(jnp.asarray(keys), nb, lanes=128, dtype=dtype,
                              interpret=True)
         )
         for w in range(wg):

@@ -23,6 +23,10 @@ def main(argv=None):
     p_dash = sub.add_parser("dashboard", help="race all MSM implementations (UI parity)")
     p_dash.add_argument("--power", type=int, default=16)
 
+    p_batch = sub.add_parser("batch", help="batch MSM (one point set, k scalar vectors) vs one-shot")
+    p_batch.add_argument("--power", type=int, default=18)
+    p_batch.add_argument("--k", type=int, default=4)
+
     p_scale = sub.add_parser("scaling", help="multi-chip scaling sweep")
     p_scale.add_argument("--power", type=int, default=18)
 
@@ -41,6 +45,8 @@ def main(argv=None):
 
     if args.cmd == "full":
         table = full.run(powers=tuple(args.powers), runs=args.runs, csv_path=args.csv)
+    elif args.cmd == "batch":
+        table = full.run_batch(power=args.power, k=args.k)
     elif args.cmd == "dashboard":
         table = micro.dashboard(power=args.power)
     elif args.cmd == "scaling":

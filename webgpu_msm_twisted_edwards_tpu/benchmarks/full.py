@@ -109,3 +109,59 @@ def run(powers=(16, 17, 18, 19, 20), runs: int = 5, csv_path: str | None = None,
     if csv_path:
         table.save_csv(csv_path)
     return table
+
+
+def run_batch(power: int = 18, k: int = 4, check: bool = True,
+              base_dir: str | None = None) -> Table:
+    """Batch-MSM benchmark: ONE point set, `k` scalar vectors — the
+    fixed-SRS proving pattern compute_msm_batch exists for.
+
+    Reports ms/MSM two ways, with what each includes spelled out:
+      - batch   : one compute_msm_batch call / k.  Stages the points and
+                  builds the Montgomery table ONCE; all device dispatches
+                  are issued before any result is fetched, so host Horner of
+                  MSM i overlaps device work of MSM i+1.
+      - one-shot: k sequential compute_msm calls / k.  Every call re-stages
+                  the point coordinates host->device (16 MB at 2^18 — over
+                  this rig's ~40 MB/s tunnel that alone is ~0.4 s/call),
+                  rebuilds the table on device, and serializes readback +
+                  host Horner between MSMs.
+
+    Both paths are timed after a warm-up call, so XLA compiles are excluded
+    from both numbers (the reference's recompile-vs-steady split,
+    full_benchmarks.ts:61-74)."""
+    from ..models import cuzk
+
+    coords, sc, _expected, src = _inputs_for_power(power, base_dir=base_dir)
+    rng = np.random.default_rng(7)
+    scs = [sc] + [rng.permutation(sc, axis=0) for _ in range(k - 1)]
+
+    # Warm-up / compile (both entry points share the staged jit caches).
+    res_batch = cuzk.compute_msm_batch(coords, scs)
+    _ = cuzk.compute_msm(coords, scs[0])
+
+    t0 = time.time()
+    res_batch = cuzk.compute_msm_batch(coords, scs)
+    batch_ms = (time.time() - t0) * 1e3 / k
+
+    t0 = time.time()
+    res_one = [cuzk.compute_msm(coords, s) for s in scs]
+    oneshot_ms = (time.time() - t0) * 1e3 / k
+
+    ok = "-"
+    if check:
+        same = all(a == b for a, b in zip(res_batch, res_one))
+        ok = "yes" if same else "NO"
+        if same and oracle.available():
+            # Spot-check one vector against the independent native oracle
+            # (u32 LE words reinterpret directly as the oracle's u64 layout).
+            pts_u64 = np.ascontiguousarray(coords).view(np.uint64).reshape(-1, 8)
+            sc_u64 = np.ascontiguousarray(scs[1]).view(np.uint64).reshape(-1, 4)
+            want = oracle.msm(pts_u64, sc_u64)
+            ok = "yes" if (res_batch[1]["x"], res_batch[1]["y"]) == want else "NO"
+
+    table = Table(["n", "k", "inputs", "batch (ms/MSM)", "one-shot (ms/MSM)",
+                   "speedup", "correct"])
+    table.add(f"2^{power}", k, src, round(batch_ms, 1), round(oneshot_ms, 1),
+              f"{oneshot_ms / batch_ms:.2f}x", ok)
+    return table

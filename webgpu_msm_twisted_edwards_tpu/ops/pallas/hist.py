@@ -8,17 +8,19 @@ transpose.wgsl:52-61).  Round 1/2 derived them with a vectorized binary-search
 XLA alternatives measured worse (method="sort" +100 ms, segment_sum histogram
 +60 ms — scatter-add lowers badly on TPU).
 
-This kernel takes the one formulation that maps to TPU hardware: a histogram
-is a sum of one-hot outer products, i.e. a matmul.  Split each key
+This kernel uses the one histogram formulation that maps onto TPU hardware: a
+histogram is a sum of one-hot outer products, i.e. a matmul.  Split each key
 k = 128*h + l; build one-hot operands A[h, t] = (key_t >> 7 == h) and
 B[l, t] = (key_t & 127 == l) with broadcast compares (no transposes), then
 
     counts2d[h, l] = sum_t A[h, t] * B[l, t]    — one MXU contraction.
 
-Work is n * nb MACs per window (2^20 * 2^15 = 34 G at c=16 — ~0.4 ms of v5e
-MXU time), and the one-hot build is ~(H+128)/1024 VPU element-ops per key.
-Order-independent: works on sorted or unsorted keys.  Counts accumulate in
-f32 (exact for n < 2^24) or i32 (int8 path).
+Work is n * nb MACs per window (2^20 * 2^15 = 34 G at c=16 — well under a ms
+of v5e MXU time), and the one-hot build is ~(H+128)/(8*128) VPU element-ops
+per key.  Keys arrive as [8, lanes] tiles (Mosaic's minimum sublane block);
+each sublane row contributes one small accumulated dot.  Order-independent:
+works on sorted or unsorted keys.  Counts accumulate in f32 (exact for
+n < 2^24) or i32 (int8 path).
 """
 
 from __future__ import annotations
@@ -32,8 +34,8 @@ from .common import interpret_default
 
 
 def _hist_body(h: int, dtype, keys_ref, out_ref):
-    """keys block [1, T]; out block [1, H, 128] accumulated across the chunk
-    grid axis (same output block revisited; init at chunk 0)."""
+    """keys block [1, 1, 8, lanes]; out block [1, H, 128] accumulated across
+    the chunk grid axis (same output block revisited; init at chunk 0)."""
     import jax.experimental.pallas as pl
 
     c = pl.program_id(1)
@@ -42,25 +44,25 @@ def _hist_body(h: int, dtype, keys_ref, out_ref):
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    t = keys_ref.shape[1]
-    k = keys_ref[0:1, :]                                   # [1, T] int32
-    hi = k >> 7
-    lo = k & 127
-    ioh = jax.lax.broadcasted_iota(jnp.int32, (h, t), 0)
-    iol = jax.lax.broadcasted_iota(jnp.int32, (128, t), 0)
-    a = (hi == ioh).astype(dtype)                          # [H, T]
-    b = (lo == iol).astype(dtype)                          # [128, T]
+    lanes = keys_ref.shape[-1]
     acc_dtype = jnp.int32 if dtype == jnp.int8 else jnp.float32
-    acc = jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=acc_dtype
-    )                                                      # [H, 128]
+    ioh = jax.lax.broadcasted_iota(jnp.int32, (h, lanes), 0)
+    iol = jax.lax.broadcasted_iota(jnp.int32, (128, lanes), 0)
+    acc = jnp.zeros((h, 128), acc_dtype)
+    for s in range(8):
+        k = keys_ref[0, 0, s:s + 1, :]                     # [1, lanes]
+        a = ((k >> 7) == ioh).astype(dtype)                # [H, lanes]
+        b = ((k & 127) == iol).astype(dtype)               # [128, lanes]
+        acc = acc + jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())), preferred_element_type=acc_dtype
+        )                                                  # [H, 128]
     out_ref[0, :, :] += acc
 
 
 def bucket_counts(
     keys: jnp.ndarray,
     nb: int,
-    block: int = 2048,
+    lanes: int = 512,
     dtype=jnp.bfloat16,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
@@ -74,16 +76,20 @@ def bucket_counts(
     wg, n = keys.shape
     assert nb % 128 == 0, f"nb={nb} must be a multiple of 128"
     h = nb // 128
-    while n % block:
-        block //= 2
-    nc = n // block
+    lanes = min(lanes, n // 8)
+    while n % (8 * lanes):
+        lanes //= 2
+    assert lanes >= 1, (n, "needs n % 8 == 0")
+    nc = n // (8 * lanes)
     assert n < (1 << 24), "f32 one-hot accumulation is exact only below 2^24 keys"
     acc_dtype = jnp.int32 if dtype == jnp.int8 else jnp.float32
+    k4 = keys.reshape(wg, nc, 8, lanes)
     out = pl.pallas_call(
         partial(_hist_body, h, dtype),
         grid=(wg, nc),
         in_specs=[
-            pl.BlockSpec((1, block), lambda w, c: (w, c), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, 1, 8, lanes), lambda w, c: (w, c, 0, 0),
+                         memory_space=pltpu.VMEM)
         ],
         out_specs=pl.BlockSpec((1, h, 128), lambda w, c: (w, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -92,5 +98,5 @@ def bucket_counts(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
-    )(keys)
+    )(k4)
     return out.reshape(wg, nb).astype(jnp.int32)
