@@ -91,8 +91,31 @@ def _partition_kernel(nbins, tblk, cap, bins_ref, rows_ref, out_ref,
         return 0
 
     jax.lax.fori_loop(0, tblk, body, 0, unroll=False)
-    # NOTE: tail tiles (< TILE rows) are left unflushed — this probe measures
-    # steady-state routing + flush throughput, not a complete partition.
+
+    # Final grid step: drain every outstanding flush DMA (each flush waits
+    # only for the one two-before it, so up to min(2, flushes) per bin are
+    # still in flight — leaving them un-waited at kernel exit is a semaphore
+    # leak that kills the device).  Tail tiles (< TILE rows) stay unflushed:
+    # this probe measures steady-state routing + flush throughput, not a
+    # complete partition.
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _():
+        def drain(b, _):
+            flushes = counters_ref[b] // TILE
+
+            def wait_one(i, _):
+                pltpu.make_async_copy(
+                    staging_ref.at[pl.ds(b * (2 * TILE), TILE), :],
+                    out_ref.at[pl.ds(b * cap, TILE), :],
+                    sems_ref.at[b],
+                ).wait()
+                return 0
+
+            jax.lax.fori_loop(0, jnp.minimum(flushes, 2), wait_one, 0,
+                              unroll=False)
+            return 0
+
+        jax.lax.fori_loop(0, nbins, drain, 0, unroll=False)
 
 
 def partition(rows, bins, nbins, tblk=4096, interpret=False):

@@ -80,7 +80,7 @@ def main():
             timeit("1-op u32 packed sort", jax.jit(one_u32), jnp.asarray(packed))
         packed64 = ((keys.astype(np.int64) << 1 | sign.astype(np.int64))
                     << logn) | idx.astype(np.int64)
-        with jax.experimental.enable_x64():
+        with jax.enable_x64(True):
             timeit("1-op i64 packed sort", jax.jit(one_u64),
                    jnp.asarray(packed64))
 

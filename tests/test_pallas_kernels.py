@@ -214,6 +214,27 @@ def test_fused_scan_matches_gather_scan_interpret():
     assert (a == b).all()
 
 
+def test_pret_scan_matches_msm_scan_interpret():
+    """msm_scan_pret (limb-major pre-transposed input, the production
+    layout) must be bit-identical to msm_scan on the row-major layout."""
+    import jax.numpy as jnp
+
+    from webgpu_msm_twisted_edwards_tpu.ops.pallas import scan as PS
+
+    rng = np.random.default_rng(3)
+    nf, lblk = 128, 64
+    rows = rng.integers(0, 1 << 13, size=(nf, PS.K, PS.TWR)).astype(np.uint32)
+    keys = np.sort(rng.integers(0, 9, size=(PS.K, nf)), axis=0).astype(np.int32)
+    a = np.asarray(PS.msm_scan(jnp.asarray(rows), jnp.asarray(keys),
+                               interpret=True))
+    rows_t = jnp.transpose(
+        jnp.asarray(rows).reshape(nf // lblk, lblk, PS.K, PS.TWR)[:, :, :, :64],
+        (0, 2, 3, 1),
+    )
+    b = np.asarray(PS.msm_scan_pret(rows_t, jnp.asarray(keys), interpret=True))
+    assert (a == b).all()
+
+
 def test_bucket_counts_matmul_interpret():
     """MXU one-hot histogram (ops/pallas/hist.py) vs np.bincount, including
     sentinel exclusion, empty buckets, and both dtype paths."""

@@ -359,14 +359,39 @@ def stages(power: int = 20, runs: int = 3) -> Table:
     t.add("gather", f"{wg}*2^{power} rows x {PS.TWR * 4} B", round(comp), round(m, 1),
           f"{wg * n / m / 1e3:.0f} M rows/s")
 
-    # Segmented scan (the SMVP analogue) over the gathered rows.
+    # Gather directly into the scan's limb-major layout (the production
+    # arrangement: the transpose is intended to fuse into the gather —
+    # measured ~+0.6 ns/entry standalone, experiments/gather_layout_probe.py).
     nf = wg * n // PS.K
+    lblk = PS.LBLK
+    while nf % lblk:
+        lblk //= 2
+
+    def gather_t(tb, ix):
+        r = tb[ix].reshape(nf // lblk, lblk, PS.K, PS.TWR)[:, :, :, :64]
+        return jnp.transpose(r, (0, 2, 3, 1))
+
+    gather_t_fn = jax.jit(gather_t)
+    comp, ts = time_device(gather_t_fn, table, gidx, runs=runs)
+    m = median(ts)
+    t.add("gather+transpose", f"{wg}*2^{power} rows -> limb-major", round(comp),
+          round(m, 1), f"{wg * n / m / 1e3:.0f} M rows/s")
+
+    # Segmented scan (the SMVP analogue) over the gathered rows.
     rows = gather_fn(table, gidx).reshape(nf, PS.K, PS.TWR)
     skeys = jnp.asarray(np.sort(rng.integers(0, nb, size=(PS.K, nf)).astype(np.int32), axis=0))
     scan_fn = jax.jit(lambda r, k: PS.msm_scan(r, k, interpret=False))
     comp, ts = time_device(scan_fn, rows, skeys, runs=runs)
     m = median(ts)
-    t.add("scan", f"{wg}*2^{power} entries", round(comp), round(m, 1),
+    t.add("scan (row-major)", f"{wg}*2^{power} entries", round(comp), round(m, 1),
+          f"{wg * n / m / 1e3:.0f} M entries/s ({wg * n * 8 / m / 1e3:.0f} M mont/s)")
+
+    rows_t = gather_t_fn(table, gidx)
+    scan_p_fn = jax.jit(lambda r, k: PS.msm_scan_pret(r, k, interpret=False))
+    comp, ts = time_device(scan_p_fn, rows_t, skeys, runs=runs)
+    m = median(ts)
+    t.add("scan (pret, production)", f"{wg}*2^{power} entries", round(comp),
+          round(m, 1),
           f"{wg * n / m / 1e3:.0f} M entries/s ({wg * n * 8 / m / 1e3:.0f} M mont/s)")
 
     # BPR over one full window set (16 windows x 2^15 buckets).

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from ..utils.aot_cache import aot_jit
 from ..utils.params import PARAMS, MsmConfig
 from . import convert as CV
 from .pallas import bpr as PB
@@ -98,28 +99,13 @@ def window_group_bucket_sums(
     sign_neg = d < 0
     keys = jnp.where(d == 0, jnp.int32(nb), jnp.abs(d) - 1)          # [Wg, n]
     idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], keys.shape)
-    # Within-bucket order is irrelevant (EC addition commutes), so key, sign
-    # and row index can fuse into ONE sortable u32 when the bits fit —
-    # key (c bits incl the sentinel) | sign | index (log2 n bits) — halving
-    # the sort's data movement (each extra sort operand measured ~21 ms per
-    # 8-window group at 2^20).  At c=16/n=2^20 the pack needs 37 bits, so
-    # large shapes keep the 2-operand variadic sort.
-    idx_bits = max(1, int(n - 1).bit_length())
-    key_bits = int(nb).bit_length()
-    if key_bits + 1 + idx_bits <= 32:
-        packed = (
-            ((keys.astype(jnp.uint32) << 1) | sign_neg.astype(jnp.uint32))
-            << idx_bits
-        ) | idx.astype(jnp.uint32)
-        packed = lax.sort(packed, dimension=1)
-        keys_s = (packed >> (idx_bits + 1)).astype(jnp.int32)
-        sign_s = (packed >> idx_bits) & 1
-        idxs_s = (packed & ((1 << idx_bits) - 1)).astype(jnp.int32)
-        # The sign selects the pre-negated table half: row index idx + n.
-        idxs_s = jnp.where(sign_s != 0, idxs_s + jnp.int32(n), idxs_s)
-    else:
-        idxs = jnp.where(sign_neg, idx + jnp.int32(n), idx)
-        keys_s, idxs_s = lax.sort((keys, idxs), dimension=1, num_keys=1)
+    # The sign selects the pre-negated table half: row index idx + n.
+    # Fusing key|sign|idx into ONE sortable word was measured and REJECTED:
+    # the variadic 2-operand sort compares only the 4-byte key, so a packed
+    # u32 is 13% slower (37.6 -> 42.7 ms at [8, 2^18]/c=13) and a packed i64
+    # is a wash at [8, 2^20]/c=16 (experiments/sort_pack_probe.py).
+    idxs = jnp.where(sign_neg, idx + jnp.int32(n), idx)
+    keys_s, idxs_s = lax.sort((keys, idxs), dimension=1, num_keys=1)
 
     # Bucket end positions / counts (the CSC col_ptr analogue).  Derived from
     # an MXU one-hot-matmul histogram (ops/pallas/hist.py) + cumsum — at 2^20
@@ -166,9 +152,19 @@ def window_group_bucket_sums(
         pidx_t = flat_pidx.reshape(nf, K).T                          # [K, NF]
         t_scan = PS.msm_scan_fused(table, pidx_t, keys_t, interpret=interpret)
     else:
+        # Gather into the scan kernel's limb-major layout: the transpose
+        # fuses into the gather's output (~+0.6 ns/entry,
+        # experiments/gather_layout_probe.py) and the pre-transposed kernel
+        # drops the per-step in-kernel transpose (10.7 -> 8.9 ns/entry,
+        # experiments/scan_tune_probe.py).  Only cols 0..3L-1 (x, y, d*t,
+        # padded to 64) are carried forward.
+        lblk = PS.LBLK
+        while nf % lblk != 0:
+            lblk //= 2
         rows = table[flat_pidx]                                      # [NF*K, TWR]
-        rows = rows.reshape(nf, K, PS.TWR)
-        t_scan = PS.msm_scan(rows, keys_t, interpret=interpret)
+        rows = rows.reshape(nf // lblk, lblk, K, PS.TWR)[:, :, :, :64]
+        rows_t = jnp.transpose(rows, (0, 2, 3, 1))                   # [NFB, K, 64, lblk]
+        t_scan = PS.msm_scan_pret(rows_t, keys_t, interpret=interpret)
     # t_scan: [NF, K//2, 2*TW] — step pairs side by side per 128-lane row.
 
     # Cross-fragment carries.  Global keys make runs never span windows.
@@ -281,7 +277,7 @@ def msm_window_sums(
 # shader_manager.ts:95-208).
 
 
-@partial(jax.jit, static_argnames=("chunk_size", "interpret"))
+@aot_jit(static_argnames=("chunk_size", "interpret"))
 def _stage_table_digits(coords_u32, scalars_u32, chunk_size: int,
                         interpret: bool | None):
     cfg = MsmConfig(chunk_size=chunk_size)
@@ -290,12 +286,12 @@ def _stage_table_digits(coords_u32, scalars_u32, chunk_size: int,
     return table, digits.T                                           # [W, n]
 
 
-@partial(jax.jit, static_argnames=("nb", "interpret"))
+@aot_jit(static_argnames=("nb", "interpret"))
 def _stage_group(table, digits_g, nb: int, interpret: bool | None):
     return window_group_bucket_sums(table, digits_g, nb, interpret=interpret)
 
 
-@partial(jax.jit, static_argnames=("w", "interpret"))
+@aot_jit(static_argnames=("w", "interpret"))
 def _stage_bpr(group_rows, w: int, interpret: bool | None):
     """group_rows: tuple of [wg*nb, TW] bucket arrays (one per window group);
     concatenated inside the program to save a dispatch."""
@@ -311,7 +307,7 @@ def _stage_bpr(group_rows, w: int, interpret: bool | None):
 _MONOLITHIC_MAX_N = 1 << 16
 
 
-@partial(jax.jit, static_argnames=("chunk_size", "interpret"))
+@aot_jit(static_argnames=("chunk_size", "interpret"))
 def _mono_pipeline(coords_u32, scalars_u32, chunk_size: int, interpret: bool | None):
     return msm_window_sums(coords_u32, scalars_u32,
                            MsmConfig(chunk_size=chunk_size), interpret=interpret)
@@ -332,7 +328,7 @@ def msm_window_sums_staged(
     n = coords_u32.shape[0]
     assert n % K == 0, f"n={n} must be a multiple of the scan fragment size {K}"
     if n < _MONOLITHIC_MAX_N and window_group == 0 and not _force_staged:
-        return _mono_pipeline(coords_u32, scalars_u32, cfg.chunk_size, interpret)
+        return _mono_pipeline(coords_u32, scalars_u32, chunk_size=cfg.chunk_size, interpret=interpret)
     w = cfg.num_windows
     nb = cfg.num_buckets
     if window_group == 0:
@@ -341,17 +337,17 @@ def msm_window_sums_staged(
     groups = w // window_group
 
     table, digits_t = _stage_table_digits(
-        coords_u32, scalars_u32, cfg.chunk_size, interpret
+        coords_u32, scalars_u32, chunk_size=cfg.chunk_size, interpret=interpret
     )
     group_rows = tuple(
         _stage_group(table, digits_t[g * window_group:(g + 1) * window_group],
-                     nb, interpret)
+                     nb=nb, interpret=interpret)
         for g in range(groups)
     )
-    return _stage_bpr(group_rows, w, interpret)                      # [W, TW]
+    return _stage_bpr(group_rows, w=w, interpret=interpret)                      # [W, TW]
 
 
-@partial(jax.jit, static_argnames=("chunk_size", "interpret"))
+@aot_jit(static_argnames=("chunk_size", "interpret"))
 def _stage_digits_only(scalars_u32, chunk_size: int, interpret: bool | None):
     cfg = MsmConfig(chunk_size=chunk_size)
     return CV.decompose_scalars_signed(scalars_u32, cfg).T           # [W, n]
@@ -383,19 +379,19 @@ def msm_window_sums_batch(
     assert w % window_group == 0
     groups = w // window_group
 
-    table = _stage_table(coords_u32, interpret)
+    table = _stage_table(coords_u32, interpret=interpret)
     outs = []
     for sc in scalars_u32_list:
-        digits_t = _stage_digits_only(sc, cfg.chunk_size, interpret)
+        digits_t = _stage_digits_only(sc, chunk_size=cfg.chunk_size, interpret=interpret)
         group_rows = tuple(
             _stage_group(table, digits_t[g * window_group:(g + 1) * window_group],
-                         nb, interpret)
+                         nb=nb, interpret=interpret)
             for g in range(groups)
         )
-        outs.append(_stage_bpr(group_rows, w, interpret))
+        outs.append(_stage_bpr(group_rows, w=w, interpret=interpret))
     return outs
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@aot_jit(static_argnames=("interpret",))
 def _stage_table(coords_u32, interpret: bool | None):
     return build_full_table(coords_u32, interpret=interpret)

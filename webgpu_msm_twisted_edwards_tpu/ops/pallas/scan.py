@@ -71,9 +71,12 @@ def _msm_scan_kernel(lblk, consts_ref, rows_ref, keys_ref, out_ref):
                    keys_ref, out_ref)
 
 
-def _msm_scan_body(lblk, consts_ref, read_rows, keys_ref, out_ref):
+def _msm_scan_body(lblk, consts_ref, read_rows, keys_ref, out_ref,
+                   read_slab=None):
     """Shared scan loop: read_rows(j) -> [lblk, >=3*L] slab of table rows for
-    step j (entries on sublanes).
+    step j (entries on sublanes), or read_slab(j) -> [3*L, lblk] already
+    limb-major (pre-transposed input; skips the per-step in-kernel
+    transpose).
 
     Output rows are 2*TW=128 lanes wide holding two consecutive steps: a
     [*, TW=64] output block gets physically padded to 128 lanes by the (8,128)
@@ -86,7 +89,10 @@ def _msm_scan_body(lblk, consts_ref, read_rows, keys_ref, out_ref):
     pad = jnp.zeros((TW - 4 * LP, lblk), jnp.uint32)
 
     def step(j, acc, kprev):
-        slab = jnp.transpose(read_rows(j))               # [3*L, lblk]
+        if read_slab is not None:
+            slab = read_slab(j)                          # [3*L, lblk]
+        else:
+            slab = jnp.transpose(read_rows(j))           # [3*L, lblk]
         x2 = slab[0 * L:1 * L]
         y2 = slab[1 * L:2 * L]
         td2 = slab[2 * L:3 * L]
@@ -168,6 +174,44 @@ def msm_scan_fused(table: jnp.ndarray, pidx_t: jnp.ndarray, keys_t: jnp.ndarray,
         interpret=_interpret_default(interpret),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
     )(consts, pidx_t, keys_t, table)
+
+
+def _msm_scan_pret_kernel(lblk, consts_ref, rows_ref, keys_ref, out_ref):
+    """Pre-transposed variant: rows_ref [1, K, 64, lblk] limb-major slabs
+    (cols 0..3L-1 = x, y, d*t), so each step reads its [3L, lblk] slab
+    directly with no in-kernel transpose.  Measured 8.9 vs 10.7 ns/entry at
+    lblk=256 (experiments/scan_tune_probe.py); the XLA transpose producing
+    this layout fuses into the gather for ~+0.6 ns/entry
+    (experiments/gather_layout_probe.py), so the kernel win is net."""
+    _msm_scan_body(lblk, consts_ref, lambda j: None, keys_ref, out_ref,
+                   read_slab=lambda j: rows_ref[0, j, 0:3 * L, :])
+
+
+def msm_scan_pret(rows_t: jnp.ndarray, keys_t: jnp.ndarray,
+                  interpret: bool | None = None) -> jnp.ndarray:
+    """rows_t: [NF//lblk, K, 64, lblk] pre-transposed gathered rows;
+    keys_t: [K, NF].  Returns T [NF, K//2, 2*TW] — identical to
+    :func:`msm_scan` on the un-transposed layout."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nfb, _, _, lblk = rows_t.shape
+    nf = nfb * lblk
+    grid = (nfb,)
+    consts = jnp.asarray(make_consts_array())
+    return pl.pallas_call(
+        partial(_msm_scan_pret_kernel, lblk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((L, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, 64, lblk), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, lblk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((lblk, K // 2, 2 * TW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nf, K // 2, 2 * TW), jnp.uint32),
+        interpret=_interpret_default(interpret),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(consts, rows_t, keys_t)
 
 
 def msm_scan(rows: jnp.ndarray, keys_t: jnp.ndarray,

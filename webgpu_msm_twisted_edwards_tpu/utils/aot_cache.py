@@ -1,0 +1,187 @@
+"""Persistent AOT-compiled-executable cache — the driver-side shader cache.
+
+The reference's browser driver caches compiled shader modules keyed by source
+(reference: src/submission/implementation/shader_manager.ts:85-92), so a
+returning user pays shader compilation once.  On this rig the analogous XLA
+persistent compilation cache does not work (remote-compile helper; see
+BASELINE.md), and a cold process pays 20-340 s (congested spikes: 1,400+ s)
+per pipeline shape class.  `jax.experimental.serialize_executable` round-trips
+a compiled executable through bytes, and a deserialize+load measures ~10 s for
+the 2^20 window-group program vs its compile (experiments/aot_cache_probe.py)
+— so this module implements the cache the runtime doesn't give us:
+
+    aot_jit(fn, static_argnames=...)  — drop-in for jax.jit at the staged-
+    pipeline call sites.  On TPU (or with MSM_AOT_CACHE=force), each (static
+    args, dynamic arg shapes) class is compiled once, serialized into
+    ~/.cache/webgpu_msm_tpu_aot/, and re-loaded by later processes.
+
+Safety: cache keys include a fingerprint of every .py source in this package
+plus the jax version and device kind, so ANY code change invalidates the
+whole cache (stale executables would silently compute old results).  Disk or
+deserialization failures fall back to a normal jit compile.
+
+Env knobs: MSM_AOT_CACHE=1 enables on TPU; MSM_AOT_CACHE=force enables on
+any backend (used by CI to exercise the real path on CPU);
+MSM_AOT_CACHE_DIR overrides the location.
+
+The cache is OPT-IN (default off) because this rig's tunneled "axon" runtime
+executes deserialized executables unreliably: measured round-trips load in
+~10 s and run correctly in some processes, but other processes see
+FAILED_PRECONDITION at dispatch or multi-minute stalls on the same cache
+entries (docs/MEASUREMENTS.md "AOT executable serialization").  On a
+standard TPU runtime, set MSM_AOT_CACHE=1.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+from functools import partial
+
+_FINGERPRINT = None
+
+
+def _code_fingerprint() -> str:
+    """Hash of all package sources + jax version (computed once)."""
+    global _FINGERPRINT
+    if _FINGERPRINT is None:
+        import jax
+
+        pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        h = hashlib.sha256()
+        h.update(jax.__version__.encode())
+        for root, _dirs, files in sorted(os.walk(pkg)):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    h.update(p.encode())
+                    with open(p, "rb") as fh:
+                        h.update(fh.read())
+        _FINGERPRINT = h.hexdigest()[:16]
+    return _FINGERPRINT
+
+
+def cache_dir() -> str:
+    d = os.environ.get("MSM_AOT_CACHE_DIR")
+    if not d:
+        d = os.path.join(os.path.expanduser("~"), ".cache", "webgpu_msm_tpu_aot")
+    return d
+
+
+def _mode() -> str:
+    return os.environ.get("MSM_AOT_CACHE", "0")
+
+
+def enabled() -> bool:
+    """Opt-in: '1' persists executables on TPU, 'force' on any backend."""
+    mode = _mode()
+    if mode == "force":
+        return True
+    if mode != "1":
+        return False
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
+class _AotJit:
+    """jax.jit wrapper with a persistent compiled-executable cache.
+
+    Call convention: dynamic arguments positionally, static arguments as
+    KEYWORDS (enforced) — the serialized executable is invoked with exactly
+    the positional dynamic args."""
+
+    def __init__(self, fn, static_argnames=()):
+        import jax
+
+        self._fn = fn
+        self._name = getattr(fn, "__name__", "fn")
+        self._static = tuple(static_argnames)
+        self._jit = jax.jit(fn, static_argnames=static_argnames)
+        self._mem: dict[str, object] = {}
+
+    def _key(self, args, statics) -> str:
+        import jax
+
+        parts = [self._name, _code_fingerprint(),
+                 jax.devices()[0].device_kind, repr(sorted(statics.items()))]
+        for leaf in jax.tree_util.tree_leaves(args):
+            parts.append(f"{getattr(leaf, 'dtype', type(leaf))}{getattr(leaf, 'shape', '')}")
+        return hashlib.sha256("|".join(parts).encode()).hexdigest()[:24]
+
+    def _path(self, key: str) -> str:
+        return os.path.join(cache_dir(), f"{self._name}-{key}.aotx")
+
+    def __call__(self, *args, **kwargs):
+        bad = [k for k in kwargs if k not in self._static]
+        assert not bad, f"non-static kwargs {bad}; pass dynamic args positionally"
+        if not enabled():
+            return self._jit(*args, **kwargs)
+        key = self._key(args, kwargs)
+        compiled = self._mem.get(key)
+        if compiled is None:
+            compiled = self._load(key)
+        if compiled is None:
+            compiled = self._jit.lower(*args, **kwargs).compile()
+            self._store(key, compiled)
+        self._mem[key] = compiled
+        return compiled(*args)
+
+    def _load(self, key: str):
+        import jax
+        from jax.experimental.serialize_executable import deserialize_and_load
+
+        path = self._path(key)
+        try:
+            with open(path, "rb") as fh:
+                ndev, payload, in_tree, out_tree = pickle.load(fh)
+            # deserialize defaults to ALL local devices; restore onto the
+            # same number the executable was compiled for (1 for jit
+            # programs) or an 8-virtual-device CPU mesh rejects the args.
+            return deserialize_and_load(
+                payload, in_tree, out_tree,
+                execution_devices=jax.devices()[:ndev],
+            )
+        except FileNotFoundError:
+            return None
+        except Exception:
+            # Corrupt blob or runtime-version mismatch: drop it and recompile.
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+            return None
+
+    def _store(self, key: str, compiled) -> None:
+        from jax.experimental.serialize_executable import serialize
+
+        try:
+            ndev = len(compiled._executable.xla_executable.local_devices())
+            payload, in_tree, out_tree = serialize(compiled)
+            os.makedirs(cache_dir(), exist_ok=True)
+            tmp = self._path(key) + ".tmp"
+            with open(tmp, "wb") as fh:
+                pickle.dump((ndev, payload, in_tree, out_tree), fh)
+            os.replace(tmp, self._path(key))
+        except Exception:
+            pass  # cache is best-effort; the compiled executable still runs
+
+    def clear_cache(self) -> None:
+        """force_recompile semantics (reference: shader_manager.ts:85-92
+        cache buster): drop in-memory executables, this function's disk
+        entries, and the underlying jit trace cache."""
+        self._mem.clear()
+        self._jit.clear_cache()
+        try:
+            for f in os.listdir(cache_dir()):
+                if f.startswith(self._name + "-"):
+                    os.unlink(os.path.join(cache_dir(), f))
+        except OSError:
+            pass
+
+
+def aot_jit(fn=None, *, static_argnames=()):
+    if fn is None:
+        return partial(aot_jit, static_argnames=static_argnames)
+    return _AotJit(fn, static_argnames=static_argnames)
