@@ -61,7 +61,7 @@ def test_cli_help_lists_all_subcommands():
         env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
     )
     assert out.returncode == 0
-    for cmd in ("full", "dashboard", "batch", "scaling", "trace", "mont",
+    for cmd in ("full", "dashboard", "batch", "sweep", "scaling", "trace", "mont",
                 "barrett", "barrett-domb", "convert", "decompose",
                 "data-transfer", "add-points", "scalar-mul",
                 "bucket-reduction", "horners-rule", "smtvp", "stages",

@@ -27,6 +27,11 @@ def main(argv=None):
     p_batch.add_argument("--power", type=int, default=18)
     p_batch.add_argument("--k", type=int, default=4)
 
+    p_sweep = sub.add_parser("sweep", help="window-size (chunk_size) sweep on TPU")
+    p_sweep.add_argument("--powers", type=int, nargs="+", default=[18, 19, 20])
+    p_sweep.add_argument("--chunks", type=int, nargs="+", default=[13, 14, 15, 16])
+    p_sweep.add_argument("--runs", type=int, default=3)
+
     p_scale = sub.add_parser("scaling", help="multi-chip scaling sweep")
     p_scale.add_argument("--power", type=int, default=18)
 
@@ -47,6 +52,9 @@ def main(argv=None):
         table = full.run(powers=tuple(args.powers), runs=args.runs, csv_path=args.csv)
     elif args.cmd == "batch":
         table = full.run_batch(power=args.power, k=args.k)
+    elif args.cmd == "sweep":
+        table = full.sweep(powers=tuple(args.powers), chunks=tuple(args.chunks),
+                           runs=args.runs)
     elif args.cmd == "dashboard":
         table = micro.dashboard(power=args.power)
     elif args.cmd == "scaling":

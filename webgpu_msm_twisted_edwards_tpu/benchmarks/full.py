@@ -111,6 +111,49 @@ def run(powers=(16, 17, 18, 19, 20), runs: int = 5, csv_path: str | None = None,
     return table
 
 
+def sweep(powers=(18, 19, 20), chunks=(13, 14, 15, 16), runs: int = 3,
+          base_dir: str | None = None) -> Table:
+    """Window-size sweep on hardware: steady-state ms for each (n, c) pair —
+    the measured basis of `utils.params.tpu_msm_config` (re-run whenever the
+    pipeline's fixed per-bucket costs change; see docs/DESIGN.md §5
+    "Window-size tuning").  TPU-only (the Pallas path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..cpu.mirrors import horner
+    from ..models import cuzk
+    from ..ops import msm_pipeline as MP
+
+    assert jax.default_backend() == "tpu", "sweep times the TPU Pallas path"
+    table = Table(["n"] + [f"c={c} (ms)" for c in chunks] + ["winner"])
+    for p in powers:
+        coords, scalars, expected, _src = _inputs_for_power(p, base_dir=base_dir)
+        dcoords = jax.device_put(jnp.asarray(coords))
+        dscalars = jax.device_put(jnp.asarray(scalars))
+        row = []
+        for c in chunks:
+            cfg = MsmConfig(chunk_size=c)
+
+            def one_run():
+                t0 = time.time()
+                rows = np.asarray(MP.msm_window_sums_staged(dcoords, dscalars, cfg))
+                pts = cuzk.packed_rows_to_extpoints(rows)
+                x, y = horner(pts, cfg.chunk_size).to_affine()
+                return (x, y), (time.time() - t0) * 1e3
+            res, _compile = one_run()
+            if expected is not None:
+                assert res == tuple(expected), (p, c, "MISMATCH vs oracle")
+            ts = []
+            for _ in range(runs):
+                ts.append(one_run()[1])
+                time.sleep(0.1)
+            row.append(round(sorted(ts)[len(ts) // 2], 1))
+        best = chunks[int(np.argmin(row))]
+        table.add(f"2^{p}", *row, f"c={best}")
+        print(table.markdown().splitlines()[-1], flush=True)
+    return table
+
+
 def run_batch(power: int = 18, k: int = 4, check: bool = True,
               base_dir: str | None = None) -> Table:
     """Batch-MSM benchmark: ONE point set, `k` scalar vectors — the
