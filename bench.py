@@ -101,13 +101,10 @@ def main():
         def run_once():
             t = time.time()
             rows = np.asarray(
-                MP.msm_window_sums_staged(dcoords, dscalars, cfg, interpret=False)
+                MP.msm_window_sums_staged(dcoords, dscalars, cfg,
+                                          interpret=False, fold=True)
             )
-            pts = cuzk.packed_rows_to_extpoints(rows)
-            from webgpu_msm_twisted_edwards_tpu.cpu.mirrors import horner
-
-            total = horner(pts, cfg.chunk_size)
-            x, y = total.to_affine()
+            x, y = cuzk.packed_rows_to_extpoints(rows)[0].to_affine()
             return {"x": x, "y": y}, (time.time() - t) * 1000.0
     else:
         def run_once():

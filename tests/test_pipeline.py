@@ -270,3 +270,31 @@ def test_compute_msm_batch_pallas_interpret():
     for sc, got in zip((s0, s1), batch):
         want = naive_msm(pts, sc).to_affine()
         assert (got["x"], got["y"]) == want
+
+
+def test_horner_fold_matches_host_horner():
+    """Device Horner fold (ops/pallas/bpr.py::horner_fold) must agree with the
+    host mirror for W window sums at several (W, c), including non-power-of-2
+    lane padding."""
+    from webgpu_msm_twisted_edwards_tpu.cpu.mirrors import horner
+    from webgpu_msm_twisted_edwards_tpu.ops.pallas import bpr as PB
+    from webgpu_msm_twisted_edwards_tpu.ops.pallas.common import LP, W as WBITS
+    from webgpu_msm_twisted_edwards_tpu.utils.params import PARAMS
+    import jax.numpy as jnp
+
+    def pack_point(p):
+        row = np.zeros(PB.TW, np.uint32)
+        for ci, v in enumerate((p.x, p.y, p.t, p.z)):
+            m = PARAMS.to_mont(v % PARAMS.p)
+            limbs = [(m >> (WBITS * i)) & ((1 << WBITS) - 1) for i in range(20)]
+            for i in range(LP):
+                row[ci * LP + i] = limbs[2 * i] | (limbs[2 * i + 1] << 16)
+        return row
+
+    for w, c, seed in [(16, 16, 71), (20, 13, 72)]:
+        pts, _, _, _ = _inputs(w, seed=seed)
+        rows = jnp.asarray(np.stack([pack_point(p) for p in pts]))
+        out = np.asarray(PB.horner_fold(rows, c, interpret=True))
+        got = cuzk.packed_rows_to_extpoints(out)[0].to_affine()
+        want = horner(pts, c).to_affine()
+        assert got == want, (w, c)

@@ -73,14 +73,12 @@ def run(powers=(16, 17, 18, 19, 20), runs: int = 5, csv_path: str | None = None,
         dcoords = jax.device_put(jnp.asarray(coords))
         dscalars = jax.device_put(jnp.asarray(scalars))
         if use_pallas:
-            fn = lambda c, s: MP.msm_window_sums_staged(c, s, cfg)
+            fn = lambda c, s: MP.msm_window_sums_staged(c, s, cfg, fold=True)
 
             def one_run():
                 t0 = time.time()
                 rows = np.asarray(fn(dcoords, dscalars))
-                pts = cuzk.packed_rows_to_extpoints(rows)
-                total = horner(pts, cfg.chunk_size)
-                x, y = total.to_affine()
+                x, y = cuzk.packed_rows_to_extpoints(rows)[0].to_affine()
                 return (x, y), (time.time() - t0) * 1e3
         else:
             jfn = cuzk._jitted_pipeline(cfg.chunk_size, 256 if cfg.chunk_size >= 8 else 4)
@@ -136,9 +134,9 @@ def sweep(powers=(18, 19, 20), chunks=(13, 14, 15, 16), runs: int = 3,
 
             def one_run():
                 t0 = time.time()
-                rows = np.asarray(MP.msm_window_sums_staged(dcoords, dscalars, cfg))
-                pts = cuzk.packed_rows_to_extpoints(rows)
-                x, y = horner(pts, cfg.chunk_size).to_affine()
+                rows = np.asarray(
+                    MP.msm_window_sums_staged(dcoords, dscalars, cfg, fold=True))
+                x, y = cuzk.packed_rows_to_extpoints(rows)[0].to_affine()
                 return (x, y), (time.time() - t0) * 1e3
             res, _compile = one_run()
             if expected is not None:

@@ -172,7 +172,8 @@ def _clear_pallas_pipeline_caches():
     from ..ops import msm_pipeline as MP
 
     for fn in (MP._stage_table_digits, MP._stage_group, MP._stage_bpr,
-               MP._stage_table, MP._stage_digits_only, MP._mono_pipeline):
+               MP._stage_bpr_total, MP._stage_table, MP._stage_digits_only,
+               MP._mono_pipeline, MP._mono_pipeline_total):
         fn.clear_cache()
 
 
@@ -240,18 +241,21 @@ def compute_msm(
             sc = np.concatenate([sc, np.zeros((pad, 8), dtype=np.uint32)], axis=0)
         from ..ops import msm_pipeline as MP
 
+        # fold=True: the BPR program ends with the device Horner fold, so the
+        # readback is ONE projective point and the host does no bigint Horner.
         rows = np.asarray(
             MP.msm_window_sums_staged(
-                jnp.asarray(coords), jnp.asarray(sc), cfg, interpret=interpret
+                jnp.asarray(coords), jnp.asarray(sc), cfg, interpret=interpret,
+                fold=True,
             )
         )
-        pts = packed_rows_to_extpoints(rows)
+        total = packed_rows_to_extpoints(rows)[0]
     else:
         fn = _jitted_pipeline(cfg.chunk_size, bpr_chunks)
         sums = fn(jnp.asarray(coords), jnp.asarray(sc))
         sums = jax.tree_util.tree_map(lambda a: np.asarray(a), sums)
         pts = window_sums_to_extpoints(sums)
-    total = horner(pts, cfg.chunk_size)
+        total = horner(pts, cfg.chunk_size)
     x, y = total.to_affine()
     if log_result:
         print({"x": x, "y": y})
@@ -308,11 +312,11 @@ def compute_msm_batch(
         scs = [np.concatenate([sc, np.zeros((pad, 8), np.uint32)], axis=0) for sc in scs]
     rows_list = MP.msm_window_sums_batch(
         jnp.asarray(coords), [jnp.asarray(sc) for sc in scs], cfg,
-        interpret=interpret,
+        interpret=interpret, fold=True,
     )
     results = []
     for rows in rows_list:                      # fetch after issuing all
-        pts = packed_rows_to_extpoints(np.asarray(rows))
-        x, y = horner(pts, cfg.chunk_size).to_affine()
+        total = packed_rows_to_extpoints(np.asarray(rows))[0]
+        x, y = total.to_affine()
         results.append({"x": x, "y": y})
     return results

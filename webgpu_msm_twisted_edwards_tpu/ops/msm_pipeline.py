@@ -299,6 +299,17 @@ def _stage_bpr(group_rows, w: int, interpret: bool | None):
     return PB.bpr(buckets, w, interpret=interpret)
 
 
+@aot_jit(static_argnames=("w", "cbits", "interpret"))
+def _stage_bpr_total(group_rows, w: int, cbits: int, interpret: bool | None):
+    """BPR + device Horner fold in one program: [1, TW] packed projective
+    total.  Retires the per-MSM host bigint Horner (reference analogue:
+    submission.ts:400-407 runs Horner on the CPU too; on this rig the host
+    loop plus the extra readback cost ~10 ms/MSM)."""
+    buckets = group_rows[0] if len(group_rows) == 1 else jnp.concatenate(group_rows, axis=0)
+    sums = PB.bpr(buckets, w, interpret=interpret)
+    return PB.horner_fold(sums, cbits, interpret=interpret)
+
+
 #: Strictly below this size the whole pipeline runs as ONE compiled program:
 #: the staged split's extra dispatches cost ~2-4 ms (measured 50.2 -> 47.9 ms
 #: at 2^12) while small-shape compiles are cheap (~20-40 s).  At 2^16+ the
@@ -313,6 +324,14 @@ def _mono_pipeline(coords_u32, scalars_u32, chunk_size: int, interpret: bool | N
                            MsmConfig(chunk_size=chunk_size), interpret=interpret)
 
 
+@aot_jit(static_argnames=("chunk_size", "interpret"))
+def _mono_pipeline_total(coords_u32, scalars_u32, chunk_size: int,
+                         interpret: bool | None):
+    sums = msm_window_sums(coords_u32, scalars_u32,
+                           MsmConfig(chunk_size=chunk_size), interpret=interpret)
+    return PB.horner_fold(sums, chunk_size, interpret=interpret)
+
+
 def msm_window_sums_staged(
     coords_u32: jnp.ndarray,
     scalars_u32: jnp.ndarray,
@@ -320,14 +339,21 @@ def msm_window_sums_staged(
     window_group: int = 0,
     interpret: bool | None = None,
     _force_staged: bool = False,
+    fold: bool = False,
 ) -> jnp.ndarray:
     """Staged production path: identical result to :func:`msm_window_sums`,
     executed as (convert+decompose) -> per-window-group program (compiled
     once, dispatched `groups` times) -> BPR.  Small inputs run monolithic
-    (see _MONOLITHIC_MAX_N); _force_staged is for equivalence tests."""
+    (see _MONOLITHIC_MAX_N); _force_staged is for equivalence tests.
+    With fold=True the BPR program also runs the device Horner fold and the
+    result is the [1, TW] packed projective total instead of [W, TW] window
+    sums."""
     n = coords_u32.shape[0]
     assert n % K == 0, f"n={n} must be a multiple of the scan fragment size {K}"
     if n < _MONOLITHIC_MAX_N and window_group == 0 and not _force_staged:
+        if fold:
+            return _mono_pipeline_total(coords_u32, scalars_u32,
+                                        chunk_size=cfg.chunk_size, interpret=interpret)
         return _mono_pipeline(coords_u32, scalars_u32, chunk_size=cfg.chunk_size, interpret=interpret)
     w = cfg.num_windows
     nb = cfg.num_buckets
@@ -344,6 +370,9 @@ def msm_window_sums_staged(
                      nb=nb, interpret=interpret)
         for g in range(groups)
     )
+    if fold:
+        return _stage_bpr_total(group_rows, w=w, cbits=cfg.chunk_size,
+                                interpret=interpret)                             # [1, TW]
     return _stage_bpr(group_rows, w=w, interpret=interpret)                      # [W, TW]
 
 
@@ -359,13 +388,16 @@ def msm_window_sums_batch(
     cfg: MsmConfig,
     window_group: int = 0,
     interpret: bool | None = None,
+    fold: bool = False,
 ) -> list:
     """Batched MSMs over ONE point set and many scalar vectors — the
     production-proving pattern (a fixed SRS, one MSM per committed
     polynomial).  The doubled Montgomery table is built once and reused by
     every MSM; all per-MSM dispatches are issued asynchronously, so device
     work pipelines back-to-back.  Returns a list of [W, TW] packed
-    window-sum arrays (fetch them after issuing everything).
+    window-sum arrays (fetch them after issuing everything), or [1, TW]
+    packed projective totals with fold=True (device Horner — keeps the
+    per-MSM host work to one point decode).
 
     The reference has no batch entry point (one compute_msm per call,
     submission.ts:73); this is a new capability enabled by the staged
@@ -388,7 +420,11 @@ def msm_window_sums_batch(
                          nb=nb, interpret=interpret)
             for g in range(groups)
         )
-        outs.append(_stage_bpr(group_rows, w=w, interpret=interpret))
+        if fold:
+            outs.append(_stage_bpr_total(group_rows, w=w, cbits=cfg.chunk_size,
+                                         interpret=interpret))
+        else:
+            outs.append(_stage_bpr(group_rows, w=w, interpret=interpret))
     return outs
 
 

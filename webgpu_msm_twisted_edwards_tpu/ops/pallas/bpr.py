@@ -21,8 +21,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...utils.params import PARAMS
 from .common import L, LP, load_consts, make_consts_array
-from .ec import double, full_add, masked_add_rows, pt_identity, pt_pack, pt_select, pt_unpack
+from .ec import (
+    Pt,
+    double,
+    full_add,
+    masked_add_rows,
+    pt_identity,
+    pt_pack,
+    pt_select,
+    pt_unpack,
+)
 from .scan import TW, _interpret_default
 
 #: Buckets per chunk in stage 1.
@@ -170,3 +180,74 @@ def bpr(buckets: jnp.ndarray, num_windows: int, interpret: bool | None = None) -
     chunks_per_window = nb // chunk
     g2 = bpr_stage2(m, g, chunks_per_window, chunk=chunk, interpret=interpret)
     return reduce_rows_per_window(g2, chunks_per_window, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Device Horner fold: total = sum_w 2^(cbits*w) * S_w.
+
+
+def _horner_kernel(w, cbits, lanes, consts_ref, s_ref, o_ref):
+    """Lane l holds window sum S_l (lanes >= w are identity padding).
+
+    Phase 1: lane l performs cbits*l conditional doublings, yielding
+    2^(cbits*l) * S_l (a masked-SIMD power ladder — every lane walks the same
+    nd = cbits*(w-1) steps, doubling only while d < cbits*l).
+    Phase 2: cyclic rotate-and-add log tree — after log2(lanes) rounds every
+    lane holds the full total (the unified full_add absorbs the identity
+    padding), so the caller reads row 0."""
+    c = load_consts(consts_ref)
+    p = pt_unpack(jnp.transpose(s_ref[:]))                       # Pt [L, lanes]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+    target = lane * cbits
+    nd = cbits * (w - 1)
+
+    def body(d, acc):
+        return pt_select(d < target, double(acc, c), acc)
+
+    p = jax.lax.fori_loop(0, nd, body, p)
+    shift = 1
+    while shift < lanes:
+        rot = Pt(*(jnp.concatenate([a[:, shift:], a[:, :shift]], axis=1)
+                   for a in p))
+        p = full_add(p, rot, c)
+        shift *= 2
+    pad = jnp.zeros((TW - 4 * LP, lanes), jnp.uint32)
+    o_ref[:, :] = jnp.transpose(jnp.concatenate([pt_pack(p), pad], axis=0))
+
+
+def horner_fold(sums: jnp.ndarray, cbits: int,
+                interpret: bool | None = None) -> jnp.ndarray:
+    """[W, TW] packed window sums -> [1, TW] packed projective total
+    = sum_w 2^(cbits*w) * S_w — the device analogue of the host Horner
+    (reference: submission.ts:400-407).  Appended to the BPR program it
+    retires the per-MSM host bigint Horner (253 python doublings) and shrinks
+    the readback to one point."""
+    w = sums.shape[0]
+    lanes = 1 << max(3, (w - 1).bit_length())
+    if lanes != w:
+        from .common import int_to_limbs
+        rl = int_to_limbs(PARAMS.r)
+        packed_r = rl[0::2] | (rl[1::2].astype(np.uint32) << 16)
+        ident = np.zeros((TW,), np.uint32)
+        ident[LP:2 * LP] = packed_r
+        ident[3 * LP:4 * LP] = packed_r
+        sums = jnp.concatenate(
+            [sums, jnp.broadcast_to(jnp.asarray(ident), (lanes - w, TW))], axis=0
+        )
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    consts = jnp.asarray(make_consts_array())
+    out = pl.pallas_call(
+        partial(_horner_kernel, w, cbits, lanes),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((L, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lanes, TW), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((lanes, TW), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((lanes, TW), jnp.uint32),
+        interpret=_interpret_default(interpret),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(consts, sums)
+    return out[:1]
