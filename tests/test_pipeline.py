@@ -298,3 +298,25 @@ def test_horner_fold_matches_host_horner():
         got = cuzk.packed_rows_to_extpoints(out)[0].to_affine()
         want = horner(pts, c).to_affine()
         assert got == want, (w, c)
+
+
+def test_blocked_matches_staged_interpret():
+    """msm_window_sums_blocked (streaming point blocks + EC combine — the
+    large-n path for tables beyond device memory) must be bit-identical to
+    the unblocked pipeline on the concatenated input."""
+    import jax
+    from functools import partial
+
+    from webgpu_msm_twisted_edwards_tpu.ops import msm_pipeline as MP
+
+    pts, scalars, coords, sc = _inputs(128, seed=81)
+    cfg = MsmConfig(chunk_size=8)
+    mono = jax.jit(partial(MP.msm_window_sums, cfg=cfg, interpret=True))
+    a = np.asarray(mono(coords, sc))
+    b = np.asarray(MP.msm_window_sums_blocked(coords, sc, cfg, block=64,
+                                              interpret=True))
+    # Blocked combine goes through EC adds, so compare as points (the packed
+    # Montgomery representatives differ; the group elements must not).
+    pa = cuzk.packed_rows_to_extpoints(a)
+    pb = cuzk.packed_rows_to_extpoints(b)
+    assert all(x.to_affine() == y.to_affine() for x, y in zip(pa, pb))

@@ -104,11 +104,14 @@ def test_sharded_pallas_non_power_of_2_mesh():
     mesh = sharded.default_mesh(ndev)
     cfg = MsmConfig(chunk_size=8)
 
+    # fold=True also covers the replicated device Horner fold in the sharded
+    # context (what compute_msm_sharded's Pallas branch runs).
     fn = jax.jit(partial(
-        sharded.sharded_window_sums_pallas, mesh=mesh, cfg=cfg, axis_name="points"
+        sharded.sharded_window_sums_pallas, mesh=mesh, cfg=cfg,
+        axis_name="points", fold=True,
     ))
     rows = np.asarray(fn(jnp.asarray(coords), jnp.asarray(sc)))
-    total = horner(cuzk.packed_rows_to_extpoints(rows), cfg.chunk_size)
+    total = cuzk.packed_rows_to_extpoints(rows)[0]
     want = oracle.msm(aff, scalars)
     assert total.to_affine() == want
 

@@ -464,11 +464,14 @@ def smtvp(n: int = 1 << 12, runs: int = 3) -> Table:
 
 
 def horners_rule(runs: int = 3) -> Table:
-    """Horner aggregation of the 16 window sums: device (XLA curve ops) vs
-    host (python bigints).  The reference benchmarked a GPU Horner shader and
-    rejected it — the CPU is faster for this tiny sequential tail
-    (reference: horners_rule_benchmark.ts and README.md:269-275); the same
-    conclusion holds here."""
+    """Horner aggregation of the 16 window sums: production Pallas fold
+    (ops/pallas/bpr.py::horner_fold — the masked-SIMD power ladder that rides
+    the BPR program's tail) vs device XLA curve ops vs host python bigints.
+    The reference benchmarked a GPU Horner shader and rejected it
+    (reference: horners_rule_benchmark.ts and README.md:269-275); standalone
+    the device variants are dispatch-floor bound here too, but appended to an
+    already-dispatched program the fold's marginal cost is ~0 — which is why
+    production uses it (docs/DESIGN.md §4)."""
     import jax
     import jax.numpy as jnp
 
@@ -511,6 +514,22 @@ def horners_rule(runs: int = 3) -> Table:
     comp, ts = time_device(device_horner, jnp.asarray(coords), runs=runs)
     t = Table(["impl", "compile (ms)", "median (ms)"])
     t.add("device (XLA, 15x(16 dbl + add))", round(comp), round(median(ts), 2))
+
+    from ..ops.pallas import bpr as PBk
+    from ..ops.pallas.common import LP as LPk, W as WBITS
+
+    rows = np.zeros((w, PBk.TW), np.uint32)
+    for i, p in enumerate(pts):
+        for ci, v in enumerate((p.x, p.y, p.t, p.z)):
+            m = PARAMS.to_mont(v % PARAMS.p)
+            limbs = [(m >> (WBITS * k)) & ((1 << WBITS) - 1) for k in range(20)]
+            for k in range(LPk):
+                rows[i, ci * LPk + k] = limbs[2 * k] | (limbs[2 * k + 1] << 16)
+
+    fold = jax.jit(lambda r: PBk.horner_fold(r, c))
+    compf, tsf = time_device(fold, jnp.asarray(rows), runs=runs)
+    t.add("device (Pallas horner_fold, production)", round(compf),
+          round(median(tsf), 2))
 
     hts = []
     for _ in range(runs):

@@ -173,7 +173,8 @@ def _clear_pallas_pipeline_caches():
 
     for fn in (MP._stage_table_digits, MP._stage_group, MP._stage_bpr,
                MP._stage_bpr_total, MP._stage_table, MP._stage_digits_only,
-               MP._mono_pipeline, MP._mono_pipeline_total):
+               MP._mono_pipeline, MP._mono_pipeline_total,
+               MP._stage_combine, MP._stage_fold):
         fn.clear_cache()
 
 
@@ -243,8 +244,11 @@ def compute_msm(
 
         # fold=True: the BPR program ends with the device Horner fold, so the
         # readback is ONE projective point and the host does no bigint Horner.
+        # msm_window_sums_blocked streams point blocks when n exceeds the
+        # device-memory envelope (2^23+ on 16 GB) and falls through to the
+        # plain staged pipeline otherwise.
         rows = np.asarray(
-            MP.msm_window_sums_staged(
+            MP.msm_window_sums_blocked(
                 jnp.asarray(coords), jnp.asarray(sc), cfg, interpret=interpret,
                 fold=True,
             )

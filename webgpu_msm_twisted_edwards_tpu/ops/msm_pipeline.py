@@ -431,3 +431,78 @@ def msm_window_sums_batch(
 @aot_jit(static_argnames=("interpret",))
 def _stage_table(coords_u32, interpret: bool | None):
     return build_full_table(coords_u32, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Blocked (streaming) path for n beyond the device-memory envelope.
+
+
+@aot_jit(static_argnames=("interpret",))
+def _stage_combine(acc_rows, rows, interpret: bool | None):
+    """EC-add two [W, TW] packed window-sum arrays row-wise."""
+    ones = jnp.ones((acc_rows.shape[0],), jnp.int32)
+    return masked_add_rows(acc_rows, rows, ones, interpret=interpret)
+
+
+@aot_jit(static_argnames=("cbits", "interpret"))
+def _stage_fold(rows, cbits: int, interpret: bool | None):
+    return PB.horner_fold(rows, cbits, interpret=interpret)
+
+
+def default_block_size(n: int) -> int:
+    """Largest power-of-two point-block (>= 4096) whose doubled table stays
+    under ~40% of device memory, leaving the rest for the per-group staging.
+    Above it, `msm_window_sums_blocked` streams blocks through the staged
+    pipeline (MSMs over disjoint point subsets add)."""
+    from ..utils.runtime import device_memory_bytes
+
+    cap_rows = int(0.4 * device_memory_bytes()) // (2 * PS.TWR * 4)
+    b = 4096
+    while b * 2 <= cap_rows and b * 2 <= n:
+        b *= 2
+    return b
+
+
+def msm_window_sums_blocked(
+    coords_u32: jnp.ndarray,
+    scalars_u32: jnp.ndarray,
+    cfg: MsmConfig,
+    block: int = 0,
+    window_group: int = 0,
+    interpret: bool | None = None,
+    fold: bool = False,
+) -> jnp.ndarray:
+    """Streaming large-n MSM: split the point axis into blocks, run the staged
+    pipeline per block (same window layout), and EC-add the [W, TW] window
+    sums across blocks — sums over disjoint point subsets add, so the result
+    is bit-identical to the unblocked pipeline.  Enables n where the doubled
+    table alone would not fit device memory (2^23+ on a 16 GB chip); the
+    reference is capped at 2^20 by browser buffer limits
+    (reference: README.md:539-551 — scale limits are future work there).
+
+    block=0 derives the block size from device memory; blocks must be
+    multiples of 4096 (the Pallas pipeline's padding unit)."""
+    n = coords_u32.shape[0]
+    if block == 0:
+        block = default_block_size(n)
+    assert block % K == 0, block       # the staged pipeline's own granularity
+    if n <= block:
+        return msm_window_sums_staged(coords_u32, scalars_u32, cfg,
+                                      window_group=window_group,
+                                      interpret=interpret, fold=fold)
+    while n % block != 0 and block > K:
+        block //= 2                       # n is a multiple of 4096 (padded)
+    assert n % block == 0, (
+        f"n={n} must be a multiple of the block size {block} "
+        "(compute_msm pads with zero scalars)"
+    )
+    acc = None
+    for b0 in range(0, n, block):
+        rows = msm_window_sums_staged(
+            coords_u32[b0:b0 + block], scalars_u32[b0:b0 + block], cfg,
+            window_group=window_group, interpret=interpret, fold=False,
+        )
+        acc = rows if acc is None else _stage_combine(acc, rows, interpret=interpret)
+    if fold:
+        return _stage_fold(acc, cbits=cfg.chunk_size, interpret=interpret)
+    return acc

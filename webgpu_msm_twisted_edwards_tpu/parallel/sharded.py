@@ -41,14 +41,17 @@ def sharded_window_sums_pallas(
     mesh: Mesh,
     cfg: MsmConfig,
     axis_name: str = "points",
+    fold: bool = False,
 ) -> jnp.ndarray:
     """Production multi-chip path: each shard runs the full Pallas pipeline on
     its points; the [W, TW] packed window-sum rows (a few KB) ride the ICI via
     all_gather and fold with the batched point-add kernel.  Returns replicated
-    [W, TW] packed rows."""
+    [W, TW] packed rows — or, with fold=True, the replicated [1, TW] packed
+    projective total (the device Horner fold runs replicated on every shard,
+    so the multi-chip path inherits the single-chip final stage)."""
     from ..ops import msm_pipeline as MP
     from ..ops.pallas import scan as PS
-    from ..ops.pallas.bpr import reduce_rows_per_window
+    from ..ops.pallas.bpr import horner_fold, reduce_rows_per_window
     from ..ops.pallas.ec import masked_add_rows
 
     ndev = mesh.devices.size
@@ -68,11 +71,14 @@ def sharded_window_sums_pallas(
         if ndev & (ndev - 1) == 0:
             # Log-depth pairwise fold over the device axis (window-major rows).
             gw = jnp.swapaxes(g, 0, 1).reshape(w * ndev, g.shape[2])
-            return reduce_rows_per_window(gw, ndev)
-        out = g[0]
-        ones = jnp.ones((w,), jnp.int32)
-        for i in range(1, ndev):
-            out = masked_add_rows(out, g[i], ones)
+            out = reduce_rows_per_window(gw, ndev)
+        else:
+            out = g[0]
+            ones = jnp.ones((w,), jnp.int32)
+            for i in range(1, ndev):
+                out = masked_add_rows(out, g[i], ones)
+        if fold:
+            out = horner_fold(out, cfg.chunk_size)
         return out
 
     return shard_map(
@@ -125,9 +131,11 @@ def _jitted_sharded(mesh: Mesh, chunk_size: int, bpr_chunks: int, axis_name: str
 
 
 @lru_cache(maxsize=None)
-def _jitted_sharded_pallas(mesh: Mesh, chunk_size: int, axis_name: str):
+def _jitted_sharded_pallas(mesh: Mesh, chunk_size: int, axis_name: str,
+                           fold: bool = False):
     cfg = MsmConfig(chunk_size=chunk_size)
-    fn = partial(sharded_window_sums_pallas, mesh=mesh, cfg=cfg, axis_name=axis_name)
+    fn = partial(sharded_window_sums_pallas, mesh=mesh, cfg=cfg,
+                 axis_name=axis_name, fold=fold)
     return jax.jit(fn)
 
 
@@ -202,15 +210,15 @@ def compute_msm_sharded(
         sc = np.concatenate([sc, np.zeros((pad, 8), dtype=np.uint32)], axis=0)
         n = coords.shape[0]
     if pipeline == "pallas":
-        fn = _jitted_sharded_pallas(mesh, cfg.chunk_size, mesh.axis_names[0])
+        fn = _jitted_sharded_pallas(mesh, cfg.chunk_size, mesh.axis_names[0],
+                                    fold=True)
         rows = np.asarray(fn(jnp.asarray(coords), jnp.asarray(sc)))
-        pts = cuzk.packed_rows_to_extpoints(rows)
+        total = cuzk.packed_rows_to_extpoints(rows)[0]
     else:
         fn = _jitted_sharded(mesh, cfg.chunk_size, bpr_chunks, mesh.axis_names[0])
         sums = fn(jnp.asarray(coords), jnp.asarray(sc))
         sums = jax.tree_util.tree_map(np.asarray, sums)
         pts = cuzk.window_sums_to_extpoints(sums)
-
-    total = horner(pts, cfg.chunk_size)
+        total = horner(pts, cfg.chunk_size)
     x, y = total.to_affine()
     return {"x": x, "y": y}
