@@ -320,3 +320,24 @@ def test_blocked_matches_staged_interpret():
     pa = cuzk.packed_rows_to_extpoints(a)
     pb = cuzk.packed_rows_to_extpoints(b)
     assert all(x.to_affine() == y.to_affine() for x, y in zip(pa, pb))
+
+
+def test_default_block_size_derivation():
+    """Block sizing for the streaming large-n path: the doubled table of one
+    block stays under ~40% of device memory; blocks shrink to divide n."""
+    from unittest import mock
+
+    from webgpu_msm_twisted_edwards_tpu.ops import msm_pipeline as MP
+
+    with mock.patch(
+        "webgpu_msm_twisted_edwards_tpu.utils.runtime.device_memory_bytes",
+        return_value=16 * (1 << 30),
+    ):
+        b = MP.default_block_size(1 << 24)
+        assert b == (1 << 22)                       # 2n*512B = 4.3 GB < 40%
+        assert MP.default_block_size(1 << 20) == 1 << 20   # fits: no blocking
+    with mock.patch(
+        "webgpu_msm_twisted_edwards_tpu.utils.runtime.device_memory_bytes",
+        return_value=4 * (1 << 30),
+    ):
+        assert MP.default_block_size(1 << 24) == (1 << 20)
