@@ -100,9 +100,11 @@ def main():
     if use_pallas:
         def run_once():
             t = time.time()
+            # blocked streams point blocks when n exceeds the device-memory
+            # envelope (2^23+); below that it IS the staged pipeline.
             rows = np.asarray(
-                MP.msm_window_sums_staged(dcoords, dscalars, cfg,
-                                          interpret=False, fold=True)
+                MP.msm_window_sums_blocked(dcoords, dscalars, cfg,
+                                           interpret=False, fold=True)
             )
             x, y = cuzk.packed_rows_to_extpoints(rows)[0].to_affine()
             return {"x": x, "y": y}, (time.time() - t) * 1000.0
