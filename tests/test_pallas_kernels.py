@@ -277,3 +277,30 @@ def test_bucket_counts_matches_searchsorted_derivation():
     )(jnp.asarray(keys)))
     assert (counts == offsets[:, 1:] - offsets[:, :nb]).all()
     assert (ends == offsets[:, 1:] - 1).all()
+
+
+def test_msm_scan_sames_matches_pret_interpret():
+    """The hoisted same-segment-mask scan (msm_scan_sames + keys_to_sames)
+    is bitwise identical to the in-kernel-compare pret scan on the same
+    rows/keys.  Fragments never straddle windows in production (window runs
+    are multiples of K), so forcing row 0 of the mask to zero matches the
+    kprev = -1 fragment reset exactly."""
+    import jax.numpy as jnp
+
+    from webgpu_msm_twisted_edwards_tpu.ops.pallas import scan as PS
+
+    rng = np.random.default_rng(11)
+    nfb, lblk = 2, 8
+    nf = nfb * lblk
+    # Realistic 13-bit limb data in the x/y/dt columns, zero padding cols.
+    rows_t = np.zeros((nfb, PS.K, 64, lblk), dtype=np.uint32)
+    rows_t[:, :, : 3 * L, :] = rng.integers(
+        0, PARAMS.mask + 1, size=(nfb, PS.K, 3 * L, lblk), dtype=np.uint32
+    )
+    # Sorted keys per fragment column with plenty of duplicates.
+    keys = np.sort(rng.integers(0, 7, size=(PS.K, nf)), axis=0).astype(np.int32)
+
+    pret = PS.msm_scan_pret(jnp.asarray(rows_t), jnp.asarray(keys), interpret=True)
+    sames = PS.keys_to_sames(jnp.asarray(keys))
+    got = PS.msm_scan_sames(jnp.asarray(rows_t), sames, interpret=True)
+    np.testing.assert_array_equal(np.asarray(pret), np.asarray(got))

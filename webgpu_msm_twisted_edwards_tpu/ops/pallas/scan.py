@@ -72,11 +72,13 @@ def _msm_scan_kernel(lblk, consts_ref, rows_ref, keys_ref, out_ref):
 
 
 def _msm_scan_body(lblk, consts_ref, read_rows, keys_ref, out_ref,
-                   read_slab=None):
+                   read_slab=None, read_same=None):
     """Shared scan loop: read_rows(j) -> [lblk, >=3*L] slab of table rows for
     step j (entries on sublanes), or read_slab(j) -> [3*L, lblk] already
     limb-major (pre-transposed input; skips the per-step in-kernel
-    transpose).
+    transpose).  When read_same(j) -> [1, lblk] bool is given, the
+    same-segment mask is precomputed outside the kernel (keys_to_sames) and
+    the kprev loop state plus both per-half-step compares drop out.
 
     Output rows are 2*TW=128 lanes wide holding two consecutive steps: a
     [*, TW=64] output block gets physically padded to 128 lanes by the (8,128)
@@ -100,8 +102,11 @@ def _msm_scan_body(lblk, consts_ref, read_rows, keys_ref, out_ref,
         # half of the doubled table (row index carries the sign), so rows
         # arrive ready to add.
 
-        kj = keys_ref[pl.ds(j, 1), :]                         # [1, lblk]
-        same = kj == kprev
+        if read_same is not None:
+            same, kj = read_same(j), kprev
+        else:
+            kj = keys_ref[pl.ds(j, 1), :]                     # [1, lblk]
+            same = kj == kprev
         acc = madd(pt_select(same, acc, ident), x2, y2, td2, c)
         return acc, kj
 
@@ -212,6 +217,55 @@ def msm_scan_pret(rows_t: jnp.ndarray, keys_t: jnp.ndarray,
         interpret=_interpret_default(interpret),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(consts, rows_t, keys_t)
+
+
+def _msm_scan_sames_kernel(lblk, consts_ref, rows_ref, sames_ref, out_ref):
+    """Pre-transposed + hoisted-mask variant: the same-segment bit for every
+    step is precomputed by :func:`keys_to_sames` (an XLA shifted compare over
+    the sorted keys), so the kernel carries no kprev state and does no
+    compares — select + madd only (VERDICT r2 #3 candidate;
+    experiments/scan_tune_probe.py `pret+sames`)."""
+    _msm_scan_body(lblk, consts_ref, lambda j: None, None, out_ref,
+                   read_slab=lambda j: rows_ref[0, j, 0:3 * L, :],
+                   read_same=lambda j: sames_ref[pl.ds(j, 1), :] != 0)
+
+
+def keys_to_sames(keys_t: jnp.ndarray) -> jnp.ndarray:
+    """[K, NF] sorted bucket keys -> [K, NF] int32 same-as-previous bits.
+
+    Row 0 is forced to 0: every fragment starts a fresh segment, matching the
+    kprev = -1 initialisation of the in-kernel compare (bucket keys are
+    non-negative).  Cross-fragment continuation is the carry scan's job either
+    way."""
+    eq = (keys_t[1:] == keys_t[:-1]).astype(jnp.int32)
+    return jnp.concatenate([jnp.zeros((1, keys_t.shape[1]), jnp.int32), eq])
+
+
+def msm_scan_sames(rows_t: jnp.ndarray, sames_t: jnp.ndarray,
+                   interpret: bool | None = None) -> jnp.ndarray:
+    """rows_t: [NF//lblk, K, 64, lblk] pre-transposed gathered rows;
+    sames_t: [K, NF] from :func:`keys_to_sames`.  Returns T
+    [NF, K//2, 2*TW] — identical to :func:`msm_scan_pret` on the same rows."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nfb, _, _, lblk = rows_t.shape
+    nf = nfb * lblk
+    grid = (nfb,)
+    consts = jnp.asarray(make_consts_array())
+    return pl.pallas_call(
+        partial(_msm_scan_sames_kernel, lblk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((L, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, 64, lblk), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, lblk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((lblk, K // 2, 2 * TW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nf, K // 2, 2 * TW), jnp.uint32),
+        interpret=_interpret_default(interpret),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(consts, rows_t, sames_t)
 
 
 def msm_scan(rows: jnp.ndarray, keys_t: jnp.ndarray,
