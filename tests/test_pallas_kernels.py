@@ -171,9 +171,10 @@ def test_convert_kernel_interpret():
     from webgpu_msm_twisted_edwards_tpu.utils.params import EDWARDS_D
 
     for i, p in enumerate(pts):
-        # Row layout: x, y, d*t (no plain t — the scan starts segments from
-        # the identity and never needs it).
-        wants = (p.x, p.y, EDWARDS_D * p.x * p.y % PARAMS.p)
+        # Row layout: cached y-x, y+x, 2*d*t (neither plain x/y nor t — the
+        # 7-product madd consumes the cached form directly).
+        wants = ((p.y - p.x) % PARAMS.p, (p.y + p.x) % PARAMS.p,
+                 2 * EDWARDS_D * p.x * p.y % PARAMS.p)
         for ci, want_plain in enumerate(wants):
             got = sum(int(table[i, ci * LIMBS + j]) << (j * W) for j in range(LIMBS))
             assert got % PARAMS.p == PARAMS.to_mont(want_plain), (i, ci)
@@ -190,15 +191,16 @@ def test_fused_scan_matches_gather_scan_interpret():
     pts, _ = random_points_scalars(16, seed=21)
     table = np.zeros((32, PS.TWR), np.uint32)
     for i, p in enumerate(pts):
-        for ci, v in enumerate((p.x, p.y, EDWARDS_D * p.x * p.y % PARAMS.p)):
+        dm = (p.y - p.x) % PARAMS.p
+        sm = (p.y + p.x) % PARAMS.p
+        td2 = 2 * EDWARDS_D * p.x * p.y % PARAMS.p
+        for ci, v in enumerate((dm, sm, td2)):
             m = PARAMS.to_mont(v)
             for j in range(L):
                 table[i, ci * L + j] = (m >> (W * j)) & PARAMS.mask
-        # Pre-negated upper half: (p - x, y, p - td) — any valid negated
-        # representation works for the equivalence check.
-        nx = (PARAMS.p - p.x) % PARAMS.p
-        ntd = (PARAMS.p - EDWARDS_D * p.x * p.y) % PARAMS.p
-        for ci, v in enumerate((nx, p.y, ntd)):
+        # Pre-negated upper half: swap (y-x, y+x), negate 2*d*t — any valid
+        # negated representation works for the equivalence check.
+        for ci, v in enumerate((sm, dm, (PARAMS.p - td2) % PARAMS.p)):
             m = PARAMS.to_mont(v)
             for j in range(L):
                 table[16 + i, ci * L + j] = (m >> (W * j)) & PARAMS.mask

@@ -63,9 +63,12 @@ def validate_pipeline(points, scalars, chunk_size: int = 16,
         if x is None:
             break
         row = table[i]
-        # Table rows hold x, y, d*t as unpacked 13-bit limbs (20 u32 each).
-        xm = sum(int(row[j]) << (j * PARAMS.word_size) for j in range(PARAMS.num_words))
-        assert xm % PARAMS.p == PARAMS.to_mont(x), f"stage 1 convert mismatch at {i}"
+        # Table rows hold the cached form y-x, y+x, 2*d*t as unpacked 13-bit
+        # limbs (20 u32 each); col 0 checks (y - x)*R.
+        dm = sum(int(row[j]) << (j * PARAMS.word_size) for j in range(PARAMS.num_words))
+        assert dm % PARAMS.p == PARAMS.to_mont((y - x) % PARAMS.p), (
+            f"stage 1 convert mismatch at {i}"
+        )
     status["convert"] = "ok"
 
     # Stages 2+3: bucket sums vs the CPU mirror (reference: :993-1085).

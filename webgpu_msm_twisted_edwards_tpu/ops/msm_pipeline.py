@@ -4,7 +4,7 @@ End-to-end re-design of the reference cuZK orchestrator
 (reference: src/submission/submission.ts:73-412) for TPU:
 
     1. convert (Pallas) + decompose — build the doubled Montgomery point
-       (XLA)                            table (x, y, d*t raw limbs; negated
+       (XLA)                            table (y-x, y+x, 2*d*t raw limbs; negated
                                       rows in the upper half) and signed
                                       window digits.
     2. sort (XLA lax.sort)          — per window, order (bucket, signed row);
@@ -66,7 +66,7 @@ def pack_cols(a: jnp.ndarray) -> jnp.ndarray:
 
 def build_table(coords_u32: jnp.ndarray, interpret: bool | None = None) -> jnp.ndarray:
     """[n, 2, 8] affine coordinate words -> [n, TWR] Montgomery table rows
-    (x, y, d*t as raw limbs) via the Pallas convert kernel
+    (cached y-x, y+x, 2*d*t raw limbs) via the Pallas convert kernel
     (reference analogue:
     convert_point_coords_and_decompose_scalars.template.wgsl:39-77)."""
     return PC.build_table(coords_u32, interpret=interpret)
@@ -156,7 +156,7 @@ def window_group_bucket_sums(
         # fuses into the gather's output (~+0.6 ns/entry,
         # experiments/gather_layout_probe.py) and the pre-transposed kernel
         # drops the per-step in-kernel transpose (10.7 -> 8.9 ns/entry,
-        # experiments/scan_tune_probe.py).  Only cols 0..3L-1 (x, y, d*t,
+        # experiments/scan_tune_probe.py).  Only cols 0..3L-1 (y-x, y+x, 2*d*t,
         # padded to 64) are carried forward.
         lblk = PS.LBLK
         while nf % lblk != 0:

@@ -3,9 +3,10 @@
 TPU re-design of the reference's convert stage (reference:
 src/submission/implementation/wgsl/cuzk/convert_point_coords_and_decompose_
 scalars.template.wgsl:39-77): per point, re-limb the 8-word coordinates into
-w-bit limbs, enter Montgomery form, and precompute t = x*y and td = d*t.  The
-reference enters Montgomery form with a Barrett multiplication by R; here it
-is mont_mul with R^2 (identical result, no second reduction path needed).
+w-bit limbs, enter Montgomery form, and precompute the cached table form
+(y-x, y+x, 2*d*x*y) consumed by the 7-product mixed add (ops/pallas/ec.py).
+The reference enters Montgomery form with a Barrett multiplication by R; here
+it is mont_mul with R^2 (identical result, no second reduction path needed).
 """
 
 from __future__ import annotations
@@ -39,11 +40,18 @@ def _limbs_from_words(words, num_rows: int):
 
 def _convert_kernel(lblk, consts_ref, words_ref, out_ref, neg_ref):
     """words_ref: [lblk, 16] (x words 0..7, y words 8..15); out_ref
-    [lblk, TW] with x, y, d*t as raw limbs at columns 0..59 (the scan starts
-    segments from the identity, so the plain t = x*y is never stored);
-    neg_ref: the negated rows (4p-x, y, 4p-td) for the signed-bucket table
-    half (reference analogue: smvp.template.wgsl:47-56)."""
-    from .common import sweep_many
+    [lblk, TW] with the CACHED point form y-x, y+x, 2*d*t as raw limbs at
+    columns 0..59 — the 7-product madd's table layout (the scan starts
+    segments from the identity, so neither plain x/y nor t is stored);
+    neg_ref: the negated rows for the signed-bucket table half (reference
+    analogue: smvp.template.wgsl:47-56) — negating (x, y) -> (-x, y) just
+    SWAPS y-x and y+x and negates 2*d*t, so the negative half costs one
+    subtraction instead of two.
+
+    Bounds: xm/ym/tdm are reduced mont products (< 1.3p); dm = y-x+4p < 5.3p,
+    sm/td2 < 2.6p, ntd2 = 4p-td2 < 4p — all table rows < 5.3p with
+    normalized limbs, within madd's documented input budget."""
+    from .common import carry_sweep, fr_add_lazy, fr_sub_lazy
 
     c = load_consts(consts_ref)
     wds = jnp.transpose(words_ref[:])              # [16, lblk]
@@ -54,17 +62,20 @@ def _convert_kernel(lblk, consts_ref, words_ref, out_ref, neg_ref):
     ym = mont_mul(y, r2, c.p)
     tm = mont_mul(xm, ym, c.p)
     tdm = mont_mul(tm, jnp.broadcast_to(c.d, x.shape), c.p)
+    dm = fr_sub_lazy(ym, xm, c)                    # y - x (+4p)
+    sm = fr_add_lazy(xm, ym)                       # y + x
+    td2 = fr_add_lazy(tdm, tdm)                    # 2*d*t
     pad = jnp.zeros((TW - 3 * L, lblk), jnp.uint32)
-    out_ref[:, :] = jnp.transpose(jnp.concatenate([xm, ym, tdm, pad], axis=0))
+    out_ref[:, :] = jnp.transpose(jnp.concatenate([dm, sm, td2, pad], axis=0))
     q4 = jnp.broadcast_to(c.q4, xm.shape)
-    nxm, ntdm = sweep_many([q4 - xm, q4 - tdm])
-    neg_ref[:, :] = jnp.transpose(jnp.concatenate([nxm, ym, ntdm, pad], axis=0))
+    ntd2 = carry_sweep(q4 - td2)
+    neg_ref[:, :] = jnp.transpose(jnp.concatenate([sm, dm, ntd2, pad], axis=0))
 
 
 def build_table_pair(coords_u32: jnp.ndarray, interpret: bool | None = None):
     """[n, 2, 8] affine coordinate words -> (rows, neg_rows), each [n, TW]
-    Montgomery table rows (x, y, d*t unpacked limbs; neg_rows hold the
-    point negations for the signed-bucket table half)."""
+    Montgomery table rows in cached form (y-x, y+x, 2*d*t unpacked limbs;
+    neg_rows hold the point negations for the signed-bucket table half)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -97,5 +108,5 @@ def build_table_pair(coords_u32: jnp.ndarray, interpret: bool | None = None):
 
 def build_table(coords_u32: jnp.ndarray, interpret: bool | None = None) -> jnp.ndarray:
     """[n, 2, 8] affine coordinate words -> [n, TW] Montgomery table rows
-    (x, y, d*t unpacked limbs)."""
+    in cached form (y-x, y+x, 2*d*t unpacked limbs)."""
     return build_table_pair(coords_u32, interpret=interpret)[0]

@@ -8,10 +8,16 @@ src/submission/implementation/wgsl/curve/ec.template.wgsl:7-66), re-shaped for
 batch-first VPU execution.
 
 Two add variants:
-- `madd` (8 Montgomery products): second operand is an affine table point with
-  Z = R (Montgomery 1) and the precomputed product d*T available — the hot op
-  of the bucket-accumulation scan.
-- `full_add` (10 products): both operands arbitrary.
+- `madd` (7 Montgomery products): second operand is an affine table point in
+  cached form (y-x, y+x, 2d*t with Z = R) — the hot op of the
+  bucket-accumulation scan.
+- `full_add` (9 products): both operands arbitrary.
+
+Both use the "rotated" a = -1 form (A = (Y1-X1)(Y2-X2), B = (Y1+X1)(Y2+X2),
+the layout ed25519 reference code popularised): every intermediate is exactly
+2x the corresponding unified add-2008-hwcd value, so the output is the same
+point scaled projectively by 4 and the formula keeps hwcd's unified behaviour
+(doubling-safe) while saving one product per add.
 """
 
 from __future__ import annotations
@@ -77,40 +83,47 @@ def pt_unpack(rows: jnp.ndarray) -> Pt:
     )
 
 
-def madd(p1: Pt, x2, y2, td2, c: Consts) -> Pt:
-    """Mixed add: p1 + (x2, y2) where the table point is affine (Z2 = R) and
-    td2 = d*T2 is precomputed.  8 Montgomery products.
+def madd(p1: Pt, d2, s2, td2, c: Consts) -> Pt:
+    """Mixed add: p1 + table point given in cached form d2 = y2-x2,
+    s2 = y2+x2, td2 = 2*d*t2 (affine, Z2 = R).  7 Montgomery products.
 
-    add-2008-hwcd with a = -1: H = B - aA = B + A
-    (reference analogue: ec.template.wgsl:34-66, one product saved by the
-    precomputed d*t and one by Z2 = R ⇒ D = Z1)."""
+    Rotated a = -1 hwcd (ed25519 ge_madd layout): A = (Y1-X1)*d2,
+    B = (Y1+X1)*s2, C = T1*td2, D = 2*Z1, E = B-A, F = D-C, G = D+C,
+    H = B+A; (X3,Y3,T3,Z3) = (EF, GH, EH, FG).  Every intermediate is 2x the
+    unified add-2008-hwcd value (reference analogue: ec.template.wgsl:34-66),
+    so the result is the same point scaled by 4 — unified behaviour kept, one
+    product saved vs the plain (x, y, d*t) table."""
     # Lazy-reduction bounds (all values mod-p-equivalent, < 9.2p < 2^256):
-    # coords in < ~4p; mont outputs < p + uv/R < 1.3p; sums < 2.6p (valid
-    # fr_sub_lazy subtrahends < 3p); differences < minuend + 4p < 9.2p.
-    # Montgomery products run 4 at a time (mont_many) — the formula's natural
-    # independence hides the per-limb sequential chains (see common.py).
+    # accumulator coords < 1.3p (mont outputs); table rows < 5p
+    # (ops/pallas/convert.py); D1 = Y1-X1+4p < 5.3p; mont outputs
+    # < p + uv/R <= p + (5.3p*6.6p)/R < 1.3p (R = 2^260 = 128p·…);
+    # sums < 3.8p; differences < minuend + 4p < 6.6p — all mont inputs < 9p
+    # with fr_sub_lazy subtrahends < 3p.  Montgomery products run batched
+    # (mont_many) — the formula's natural independence hides the per-limb
+    # sequential chains (see common.py).
     pv = c.p
-    s11, s22 = add_many([(p1.x, p1.y), (x2, y2)])
-    a, b, cc, e_in = mont_many([(p1.x, x2), (p1.y, y2), (p1.t, td2), (s11, s22)], pv)
-    d = p1.z
-    h = fr_add_lazy(a, b)
-    e, f = sub_many([(e_in, h), (d, cc)], c)
-    g = fr_add_lazy(d, cc)
+    d1 = fr_sub_lazy(p1.y, p1.x, c)
+    s1, dd = add_many([(p1.x, p1.y), (p1.z, p1.z)])
+    a, b, cc = mont_many([(d1, d2), (s1, s2), (p1.t, td2)], pv)
+    e, f = sub_many([(b, a), (dd, cc)], c)
+    g, h = add_many([(dd, cc), (b, a)])
     x3, y3, t3, z3 = mont_many([(e, f), (g, h), (e, h), (f, g)], pv)
     return Pt(x3, y3, t3, z3)
 
 
 def full_add(p1: Pt, p2: Pt, c: Consts) -> Pt:
-    """General unified add, 10 Montgomery products (both Z arbitrary)."""
+    """General unified add, 9 Montgomery products (both Z arbitrary).
+
+    Same rotated a = -1 form as :func:`madd` with C = d*T1*T2 doubled by a
+    lazy add (no 2d constant) and D = 2*Z1*Z2."""
     pv = c.p
-    s11, s22 = add_many([(p1.x, p1.y), (p2.x, p2.y)])
-    a, b, t12, d, e_in = mont_many(
-        [(p1.x, p2.x), (p1.y, p2.y), (p1.t, p2.t), (p1.z, p2.z), (s11, s22)], pv
-    )
-    cc = mont_mul(t12, jnp.broadcast_to(c.d, t12.shape), pv, reduce=False)
-    h = fr_add_lazy(a, b)
-    e, f = sub_many([(e_in, h), (d, cc)], c)
-    g = fr_add_lazy(d, cc)
+    d1, d2 = sub_many([(p1.y, p1.x), (p2.y, p2.x)], c)
+    s1, s2 = add_many([(p1.x, p1.y), (p2.x, p2.y)])
+    a, b, t12, z12 = mont_many([(d1, d2), (s1, s2), (p1.t, p2.t), (p1.z, p2.z)], pv)
+    cc1 = mont_mul(t12, jnp.broadcast_to(c.d, t12.shape), pv, reduce=False)
+    cc, dd = add_many([(cc1, cc1), (z12, z12)])
+    e, f = sub_many([(b, a), (dd, cc)], c)
+    g, h = add_many([(dd, cc), (b, a)])
     x3, y3, t3, z3 = mont_many([(e, f), (g, h), (e, h), (f, g)], pv)
     return Pt(x3, y3, t3, z3)
 

@@ -16,7 +16,7 @@ distribution — unlike thread-per-bucket schemes, load imbalance costs nothing.
 Memory layout: each scan step reads one [LBLK, 3*L] tile of gathered table
 rows (pre-negated for signed digits) and transposes it in-VMEM to the
 [limb, lane] compute layout; the transposes ride the permute unit and are
-free next to the 8-product EC add.  Outputs are written two steps per full
+free next to the 7-product EC add.  Outputs are written two steps per full
 (8, 128) tile to avoid lane-padding write amplification.
 """
 
@@ -38,10 +38,11 @@ LBLK = 256
 
 #: Accumulator/output row width in u32 (packed x,y,t,z + padding).
 TW = 64
-#: Table row width in u32: x, y, d*t unpacked at cols 0..59.  The plain t
-#: coordinate is not stored at all — segments start from the identity and
-#: madd(identity, P) reconstructs the extended form, so the scan only ever
-#: needs (x, y, d*t).  Gathers are row-count-bound, so unpacked rows are free
+#: Table row width in u32: the cached form y-x, y+x, 2*d*t unpacked at cols
+#: 0..59.  Neither plain x/y nor t is stored — segments start from the
+#: identity and madd(identity, P) reconstructs the extended form, so the scan
+#: only needs the three cached coords the 7-product madd consumes
+#: (ops/pallas/ec.py).  Gathers are row-count-bound, so unpacked rows are free
 #: and save the in-kernel limb interleave.  Width stays a full (8, 128) tile:
 #: narrower rows make the XLA gather *slower* and force relayouts (measured:
 #: TWR=64 cost +12 ms at 2^20 and doubled compile time).
@@ -56,8 +57,8 @@ from .common import interpret_default as _interpret_default  # noqa: E402
 
 
 def _msm_scan_kernel(lblk, consts_ref, rows_ref, keys_ref, out_ref):
-    """rows_ref: [lblk, K, TWR] gathered table rows (x, y, d*t unpacked,
-    pre-negated for signed digits); keys_ref: [K, lblk] bucket keys;
+    """rows_ref: [lblk, K, TWR] gathered table rows (cached y-x, y+x, 2*d*t
+    unpacked, pre-negated for signed digits); keys_ref: [K, lblk] bucket keys;
     out_ref: [lblk, K//2, 2*TW] inclusive in-fragment scan values — steps
     (2i, 2i+1) packed side by side in one 128-lane row (see _msm_scan_body).
 
@@ -95,8 +96,8 @@ def _msm_scan_body(lblk, consts_ref, read_rows, keys_ref, out_ref,
             slab = read_slab(j)                          # [3*L, lblk]
         else:
             slab = jnp.transpose(read_rows(j))           # [3*L, lblk]
-        x2 = slab[0 * L:1 * L]
-        y2 = slab[1 * L:2 * L]
+        d2 = slab[0 * L:1 * L]
+        s2 = slab[1 * L:2 * L]
         td2 = slab[2 * L:3 * L]
         # No in-kernel negation: signed digits gather from the pre-negated
         # half of the doubled table (row index carries the sign), so rows
@@ -107,7 +108,7 @@ def _msm_scan_body(lblk, consts_ref, read_rows, keys_ref, out_ref,
         else:
             kj = keys_ref[pl.ds(j, 1), :]                     # [1, lblk]
             same = kj == kprev
-        acc = madd(pt_select(same, acc, ident), x2, y2, td2, c)
+        acc = madd(pt_select(same, acc, ident), d2, s2, td2, c)
         return acc, kj
 
     def body(j2, state):
@@ -183,7 +184,7 @@ def msm_scan_fused(table: jnp.ndarray, pidx_t: jnp.ndarray, keys_t: jnp.ndarray,
 
 def _msm_scan_pret_kernel(lblk, consts_ref, rows_ref, keys_ref, out_ref):
     """Pre-transposed variant: rows_ref [1, K, 64, lblk] limb-major slabs
-    (cols 0..3L-1 = x, y, d*t), so each step reads its [3L, lblk] slab
+    (cols 0..3L-1 = y-x, y+x, 2*d*t), so each step reads its [3L, lblk] slab
     directly with no in-kernel transpose.  Measured 8.9 vs 10.7 ns/entry at
     lblk=256 (experiments/scan_tune_probe.py); the XLA transpose producing
     this layout fuses into the gather for ~+0.6 ns/entry
