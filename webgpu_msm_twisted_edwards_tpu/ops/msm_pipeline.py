@@ -46,6 +46,11 @@ from .pallas.ec import masked_add_rows
 
 L = PARAMS.num_words
 TW = PS.TW
+
+#: A/B switch for the hoisted same-segment-mask scan variant (read once at
+#: import; see window_group_bucket_sums).
+import os as _os  # noqa: E402
+_SCAN_SAMES = _os.environ.get("MSM_SCAN_SAMES", "0") == "1"
 K = PS.K
 
 
@@ -164,7 +169,13 @@ def window_group_bucket_sums(
         rows = table[flat_pidx]                                      # [NF*K, TWR]
         rows = rows.reshape(nf // lblk, lblk, K, PS.TWR)[:, :, :, :64]
         rows_t = jnp.transpose(rows, (0, 2, 3, 1))                   # [NFB, K, 64, lblk]
-        t_scan = PS.msm_scan_pret(rows_t, keys_t, interpret=interpret)
+        if _SCAN_SAMES:
+            # A/B flag (MSM_SCAN_SAMES=1): hoist the same-segment compare
+            # out of the kernel (experiments/scan_tune_probe.py pret+sames).
+            t_scan = PS.msm_scan_sames(rows_t, PS.keys_to_sames(keys_t),
+                                       interpret=interpret)
+        else:
+            t_scan = PS.msm_scan_pret(rows_t, keys_t, interpret=interpret)
     # t_scan: [NF, K//2, 2*TW] — step pairs side by side per 128-lane row.
 
     # Cross-fragment carries.  Global keys make runs never span windows.
