@@ -27,6 +27,7 @@ Data stays on device between stages; only the [W] window sums are read back.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -49,8 +50,7 @@ TW = PS.TW
 
 #: A/B switch for the hoisted same-segment-mask scan variant (read once at
 #: import; see window_group_bucket_sums).
-import os as _os  # noqa: E402
-_SCAN_SAMES = _os.environ.get("MSM_SCAN_SAMES", "0") == "1"
+_SCAN_SAMES = os.environ.get("MSM_SCAN_SAMES", "0") == "1"
 K = PS.K
 
 
