@@ -167,17 +167,21 @@ def test_convert_kernel_interpret():
 
     pts, _ = random_points_scalars(8, seed=14)
     coords, _ = prepare_inputs([p.to_affine() for p in pts], [0] * 8)
-    table = np.asarray(PC.build_table(jnp.asarray(coords), interpret=True))
+    table, neg = (np.asarray(t) for t in
+                  PC.build_table_pair(jnp.asarray(coords), interpret=True))
     from webgpu_msm_twisted_edwards_tpu.utils.params import EDWARDS_D
 
     for i, p in enumerate(pts):
         # Row layout: cached y-x, y+x, 2*d*t (neither plain x/y nor t — the
-        # 7-product madd consumes the cached form directly).
+        # 7-product madd consumes the cached form directly).  Negated rows
+        # swap the first two coords and negate 2*d*t.
         wants = ((p.y - p.x) % PARAMS.p, (p.y + p.x) % PARAMS.p,
                  2 * EDWARDS_D * p.x * p.y % PARAMS.p)
-        for ci, want_plain in enumerate(wants):
-            got = sum(int(table[i, ci * LIMBS + j]) << (j * W) for j in range(LIMBS))
-            assert got % PARAMS.p == PARAMS.to_mont(want_plain), (i, ci)
+        nwants = (wants[1], wants[0], (PARAMS.p - wants[2]) % PARAMS.p)
+        for rows, want3 in ((table, wants), (neg, nwants)):
+            for ci, want_plain in enumerate(want3):
+                got = sum(int(rows[i, ci * LIMBS + j]) << (j * W) for j in range(LIMBS))
+                assert got % PARAMS.p == PARAMS.to_mont(want_plain), (i, ci)
 
 
 def test_fused_scan_matches_gather_scan_interpret():
