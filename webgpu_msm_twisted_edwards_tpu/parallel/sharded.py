@@ -86,7 +86,7 @@ def sharded_window_sums_pallas(
         mesh=mesh,
         in_specs=(P(axis_name), P(axis_name)),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )(coords_u32, scalars_u32)
 
 
@@ -116,7 +116,7 @@ def sharded_window_sums(
         mesh=mesh,
         in_specs=(P(axis_name), P(axis_name)),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )(coords_u32, scalars_u32)
     return C.PointXYTZ(out[:, 0], out[:, 1], out[:, 2], out[:, 3])
 
