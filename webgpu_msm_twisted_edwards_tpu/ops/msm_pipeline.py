@@ -49,8 +49,10 @@ L = PARAMS.num_words
 TW = PS.TW
 
 #: A/B switch for the hoisted same-segment-mask scan variant (read once at
-#: import; see window_group_bucket_sums).
-_SCAN_SAMES = os.environ.get("MSM_SCAN_SAMES", "0") == "1"
+#: import; see window_group_bucket_sums).  Default ON: measured 496.5 vs
+#: 501.0 ms end-to-end at 2^20 on v5e (oracle MATCH both ways); set
+#: MSM_SCAN_SAMES=0 to fall back to the in-kernel compare.
+_SCAN_SAMES = os.environ.get("MSM_SCAN_SAMES", "1") == "1"
 K = PS.K
 
 
@@ -170,8 +172,8 @@ def window_group_bucket_sums(
         rows = rows.reshape(nf // lblk, lblk, K, PS.TWR)[:, :, :, :64]
         rows_t = jnp.transpose(rows, (0, 2, 3, 1))                   # [NFB, K, 64, lblk]
         if _SCAN_SAMES:
-            # A/B flag (MSM_SCAN_SAMES=1): hoist the same-segment compare
-            # out of the kernel (experiments/scan_tune_probe.py pret+sames).
+            # Default: hoist the same-segment compare out of the kernel
+            # (experiments/scan_tune_probe.py pret+sames; −4.5 ms at 2^20).
             t_scan = PS.msm_scan_sames(rows_t, PS.keys_to_sames(keys_t),
                                        interpret=interpret)
         else:
