@@ -285,6 +285,23 @@ def test_bucket_counts_matches_searchsorted_derivation():
     assert (ends == offsets[:, 1:] - 1).all()
 
 
+def test_msm_scan_rm_sames_matches_msm_scan_interpret():
+    """Row-major + hoisted-mask scan (msm_scan_rm_sames) is bitwise identical
+    to the in-kernel-compare row-major scan on the same rows/keys."""
+    import jax.numpy as jnp
+
+    from webgpu_msm_twisted_edwards_tpu.ops.pallas import scan as PS
+
+    rng = np.random.default_rng(13)
+    nf = 128
+    rows = rng.integers(0, PARAMS.mask + 1, size=(nf, PS.K, PS.TWR)).astype(np.uint32)
+    keys = np.sort(rng.integers(0, 9, size=(PS.K, nf)), axis=0).astype(np.int32)
+    a = np.asarray(PS.msm_scan(jnp.asarray(rows), jnp.asarray(keys), interpret=True))
+    sames = PS.keys_to_sames(jnp.asarray(keys))
+    b = np.asarray(PS.msm_scan_rm_sames(jnp.asarray(rows), sames, interpret=True))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_msm_scan_sames_matches_pret_interpret():
     """The hoisted same-segment-mask scan (msm_scan_sames + keys_to_sames)
     is bitwise identical to the in-kernel-compare pret scan on the same

@@ -242,6 +242,56 @@ def test_staged_matches_monolithic_interpret():
     assert (a == b).all()
 
 
+def test_single_table_matches_doubled_interpret(monkeypatch):
+    """MSM_SINGLE_TABLE layout (n-row table, sign applied in-kernel via bit 1
+    of the hoisted mask word) must compute the same window sums as the
+    doubled pre-negated table.  Limb representatives may differ (the in-kernel
+    4p - v negation vs the convert kernel's pre-negated row), so compare
+    coordinate VALUES mod p after un-Montgomery."""
+    from functools import partial
+
+    import jax
+
+    from webgpu_msm_twisted_edwards_tpu.ops import msm_pipeline as MP
+
+    pts, scalars, coords, sc = _inputs(64, seed=77)
+    cfg = MsmConfig(chunk_size=8)
+    fn = jax.jit(partial(MP.msm_window_sums, cfg=cfg, interpret=True))
+    a = np.asarray(fn(coords, sc))
+    monkeypatch.setattr(MP, "_SINGLE_TABLE", True)
+    fn2 = jax.jit(partial(MP.msm_window_sums, cfg=cfg, interpret=True))
+    b = np.asarray(fn2(coords, sc))
+    pa = cuzk.packed_rows_to_extpoints(a)
+    pb = cuzk.packed_rows_to_extpoints(b)
+    assert pa == pb
+    # And both match the CPU ground truth window sums.
+    digits = cpu_decompose(scalars, cfg.num_windows, cfg.chunk_size)
+    want_buckets = bucket_accumulation_signed(pts, digits, cfg.num_windows, cfg.chunk_size)
+    for w in range(cfg.num_windows):
+        want = running_sum_bucket_reduction(want_buckets[w])
+        if want.is_identity():
+            assert pa[w].is_identity(), w
+        else:
+            assert pa[w].to_affine() == want.to_affine(), w
+
+
+def test_rm_layout_matches_pret_interpret(monkeypatch):
+    """MSM_SCAN_LAYOUT=rm (row-major gather output straight into the kernel)
+    must be bit-identical to the default pret layout end-to-end."""
+    from functools import partial
+
+    import jax
+
+    from webgpu_msm_twisted_edwards_tpu.ops import msm_pipeline as MP
+
+    pts, scalars, coords, sc = _inputs(64, seed=78)
+    cfg = MsmConfig(chunk_size=8)
+    a = np.asarray(jax.jit(partial(MP.msm_window_sums, cfg=cfg, interpret=True))(coords, sc))
+    monkeypatch.setattr(MP, "_SCAN_LAYOUT", "rm")
+    b = np.asarray(jax.jit(partial(MP.msm_window_sums, cfg=cfg, interpret=True))(coords, sc))
+    assert (a == b).all()
+
+
 def test_compute_msm_batch_matches_single():
     """compute_msm_batch (one point set, many scalar vectors — table reused)
     must agree element-wise with one-shot compute_msm."""

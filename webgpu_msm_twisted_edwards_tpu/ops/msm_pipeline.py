@@ -53,6 +53,26 @@ TW = PS.TW
 #: 501.0 ms end-to-end at 2^20 on v5e (oracle MATCH both ways); set
 #: MSM_SCAN_SAMES=0 to fall back to the in-kernel compare.
 _SCAN_SAMES = os.environ.get("MSM_SCAN_SAMES", "1") == "1"
+
+#: Opt-in single-table layout: gather from the n-row table and apply the
+#: digit sign in-kernel (bit 1 of the hoisted mask word) instead of gathering
+#: from the 2n-row pre-negated doubled table.  Measured at 2^20 on v5e: the
+#: gather rate is INsensitive to source-table size
+#: (experiments/table_size_probe.py: 110.8 vs 114.4 ms at 2^21 vs 2^20 rows),
+#: so this trades ~12 ms/MSM of in-kernel negation (510.3 vs 497.8 end-to-end,
+#: oracle MATCH) for half the table's HBM footprint — useful headroom at
+#: streaming-path block sizes, not a speed win; default OFF.
+_SINGLE_TABLE = os.environ.get("MSM_SINGLE_TABLE", "0") == "1"
+
+#: Scan input layout: "rm" (default) feeds the gather's natural row-major
+#: output straight into the kernel, which transposes each [lblk, 3L] step
+#: slab on the in-kernel permute unit; "pret" gathers into a limb-major
+#: layout (the transpose fuses into the gather's output pass) feeding the
+#: transpose-free kernel.  Measured end-to-end at 2^20 on v5e (oracle MATCH
+#: both ways): rm 490.0 ms vs pret 497.8 — the XLA gather-side transpose
+#: costs ~8-10 ms/group while the transpose-free kernel only saves ~4-5
+#: (round-3 stages bench), so rm wins net.
+_SCAN_LAYOUT = os.environ.get("MSM_SCAN_LAYOUT", "rm")
 K = PS.K
 
 
@@ -89,6 +109,15 @@ def build_full_table(coords_u32: jnp.ndarray, interpret: bool | None = None) -> 
     return jnp.concatenate([rows, neg_rows], axis=0)
 
 
+def build_prod_table(coords_u32: jnp.ndarray, interpret: bool | None = None) -> jnp.ndarray:
+    """The production table for the configured layout: [2n, TWR] doubled
+    pre-negated rows, or [n, TWR] single-table rows when MSM_SINGLE_TABLE=1
+    (the sign is then applied in-kernel by msm_scan_signed)."""
+    if _SINGLE_TABLE:
+        return build_table(coords_u32, interpret=interpret)
+    return build_full_table(coords_u32, interpret=interpret)
+
+
 def window_group_bucket_sums(
     table: jnp.ndarray,
     digits_g: jnp.ndarray,
@@ -101,17 +130,20 @@ def window_group_bucket_sums(
     Returns packed bucket sums [Wg * nb, TW] (bucket key b holds the sum of
     points with |digit| == b+1, sign applied)."""
     wg, n = digits_g.shape
-    assert table.shape[0] == 2 * n, (table.shape, n)
+    single = table.shape[0] == n           # single-table (in-kernel sign) mode
+    assert table.shape[0] == (n if single else 2 * n), (table.shape, n)
     d = digits_g
     sign_neg = d < 0
     keys = jnp.where(d == 0, jnp.int32(nb), jnp.abs(d) - 1)          # [Wg, n]
     idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], keys.shape)
-    # The sign selects the pre-negated table half: row index idx + n.
+    # Doubled table: the sign selects the pre-negated half (row idx + n).
+    # Single table: the sign rides payload bit 30 and is applied in-kernel.
     # Fusing key|sign|idx into ONE sortable word was measured and REJECTED:
     # the variadic 2-operand sort compares only the 4-byte key, so a packed
     # u32 is 13% slower (37.6 -> 42.7 ms at [8, 2^18]/c=13) and a packed i64
     # is a wash at [8, 2^20]/c=16 (experiments/sort_pack_probe.py).
-    idxs = jnp.where(sign_neg, idx + jnp.int32(n), idx)
+    sbit = jnp.int32(1 << 30) if single else jnp.int32(n)
+    idxs = jnp.where(sign_neg, idx + sbit, idx)
     keys_s, idxs_s = lax.sort((keys, idxs), dimension=1, num_keys=1)
 
     # Bucket end positions / counts (the CSC col_ptr analogue).  Derived from
@@ -153,11 +185,22 @@ def window_group_bucket_sums(
         flat_pidx = jnp.concatenate([flat_pidx, jnp.zeros((pad_e,), jnp.int32)])
 
     keys_t = flat_keys.reshape(nf, K).T                              # [K, NF]
+    if single:
+        flat_neg = flat_pidx >> 30                                   # sign bit
+        flat_pidx = flat_pidx & jnp.int32((1 << 30) - 1)
 
     if fused:
         # EXPERIMENT path (measured slower; see msm_scan_fused docstring).
+        assert not single, "fused experiment path needs the doubled table"
         pidx_t = flat_pidx.reshape(nf, K).T                          # [K, NF]
         t_scan = PS.msm_scan_fused(table, pidx_t, keys_t, interpret=interpret)
+    elif _SCAN_LAYOUT == "rm" and not single:
+        # Row-major layout: feed the gather's natural output straight into
+        # the kernel (per-step transposes ride the in-kernel permute unit);
+        # skips the gather-side transpose pass entirely.
+        rows = table[flat_pidx].reshape(nf, K, PS.TWR)
+        t_scan = PS.msm_scan_rm_sames(rows, PS.keys_to_sames(keys_t),
+                                      interpret=interpret)
     else:
         # Gather into the scan kernel's limb-major layout: the transpose
         # fuses into the gather's output (~+0.6 ns/entry,
@@ -171,7 +214,12 @@ def window_group_bucket_sums(
         rows = table[flat_pidx]                                      # [NF*K, TWR]
         rows = rows.reshape(nf // lblk, lblk, K, PS.TWR)[:, :, :, :64]
         rows_t = jnp.transpose(rows, (0, 2, 3, 1))                   # [NFB, K, 64, lblk]
-        if _SCAN_SAMES:
+        if single:
+            # Sign bit rides the hoisted mask word (bit 1); negation happens
+            # in-kernel so the gather reads the half-size table.
+            bits_t = PS.keys_to_sames(keys_t) | (flat_neg.reshape(nf, K).T << 1)
+            t_scan = PS.msm_scan_signed(rows_t, bits_t, interpret=interpret)
+        elif _SCAN_SAMES:
             # Default: hoist the same-segment compare out of the kernel
             # (experiments/scan_tune_probe.py pret+sames; −4.5 ms at 2^20).
             t_scan = PS.msm_scan_sames(rows_t, PS.keys_to_sames(keys_t),
@@ -231,7 +279,8 @@ def default_window_group(n: int, num_windows: int) -> int:
     submission.ts:233-274)."""
     from ..utils.runtime import device_memory_bytes
 
-    table_bytes = 2 * n * PS.TWR * 4        # doubled (pre-negated) table
+    tf = 1 if _SINGLE_TABLE else 2          # doubled (pre-negated) or single
+    table_bytes = tf * n * PS.TWR * 4
     budget = int(0.85 * device_memory_bytes()) - table_bytes
     cap = max(1, budget // (n * _STAGING_BYTES_PER_ENTRY))
     return max(d for d in range(1, num_windows + 1) if num_windows % d == 0 and d <= cap)
@@ -266,7 +315,7 @@ def msm_window_sums(
     assert w % window_group == 0
     groups = w // window_group
 
-    table = build_full_table(coords_u32, interpret=interpret)       # [2n, TWR]
+    table = build_prod_table(coords_u32, interpret=interpret)
     digits = CV.decompose_scalars_signed(scalars_u32, cfg)           # [n, W]
     digits_t = digits.T.reshape(groups, window_group, n)
 
@@ -294,13 +343,19 @@ def msm_window_sums(
 def _stage_table_digits(coords_u32, scalars_u32, chunk_size: int,
                         interpret: bool | None):
     cfg = MsmConfig(chunk_size=chunk_size)
-    table = build_full_table(coords_u32, interpret=interpret)       # [2n, TWR]
+    table = build_prod_table(coords_u32, interpret=interpret)
     digits = CV.decompose_scalars_signed(scalars_u32, cfg)           # [n, W]
     return table, digits.T                                           # [W, n]
 
 
-@aot_jit(static_argnames=("nb", "interpret"))
-def _stage_group(table, digits_g, nb: int, interpret: bool | None):
+@aot_jit(static_argnames=("nb", "wg", "interpret"))
+def _stage_group(table, digits_t, g, nb: int, wg: int, interpret: bool | None):
+    """One window group's bucket sums.  The group's digit rows are sliced out
+    of the full [W, n] digit array INSIDE the program (g is a traced scalar),
+    so per-group dispatch is exactly one program launch — a host-side
+    `digits_t[g*wg:(g+1)*wg]` slice is itself a separate compiled dispatch
+    (~1-3 ms of host/tunnel issue time each at 2^20)."""
+    digits_g = lax.dynamic_slice_in_dim(digits_t, g * wg, wg, axis=0)
     return window_group_bucket_sums(table, digits_g, nb, interpret=interpret)
 
 
@@ -379,8 +434,8 @@ def msm_window_sums_staged(
         coords_u32, scalars_u32, chunk_size=cfg.chunk_size, interpret=interpret
     )
     group_rows = tuple(
-        _stage_group(table, digits_t[g * window_group:(g + 1) * window_group],
-                     nb=nb, interpret=interpret)
+        _stage_group(table, digits_t, np.int32(g), nb=nb, wg=window_group,
+                     interpret=interpret)
         for g in range(groups)
     )
     if fold:
@@ -429,8 +484,8 @@ def msm_window_sums_batch(
     for sc in scalars_u32_list:
         digits_t = _stage_digits_only(sc, chunk_size=cfg.chunk_size, interpret=interpret)
         group_rows = tuple(
-            _stage_group(table, digits_t[g * window_group:(g + 1) * window_group],
-                         nb=nb, interpret=interpret)
+            _stage_group(table, digits_t, np.int32(g), nb=nb, wg=window_group,
+                         interpret=interpret)
             for g in range(groups)
         )
         if fold:
@@ -443,7 +498,7 @@ def msm_window_sums_batch(
 
 @aot_jit(static_argnames=("interpret",))
 def _stage_table(coords_u32, interpret: bool | None):
-    return build_full_table(coords_u32, interpret=interpret)
+    return build_prod_table(coords_u32, interpret=interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -469,7 +524,8 @@ def default_block_size(n: int) -> int:
     pipeline (MSMs over disjoint point subsets add)."""
     from ..utils.runtime import device_memory_bytes
 
-    cap_rows = int(0.4 * device_memory_bytes()) // (2 * PS.TWR * 4)
+    tf = 1 if _SINGLE_TABLE else 2
+    cap_rows = int(0.4 * device_memory_bytes()) // (tf * PS.TWR * 4)
     b = 4096
     while b * 2 <= cap_rows and b * 2 <= n:
         b *= 2

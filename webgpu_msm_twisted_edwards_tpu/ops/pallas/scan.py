@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-from .common import L, LP, load_consts, make_consts_array
+from .common import L, LP, fr_neg_lazy, load_consts, make_consts_array
 from .ec import full_add, madd, pt_identity, pt_pack, pt_select, pt_unpack
 
 #: Entries per fragment (scan depth) and fragment-lanes per kernel block.
@@ -73,13 +73,17 @@ def _msm_scan_kernel(lblk, consts_ref, rows_ref, keys_ref, out_ref):
 
 
 def _msm_scan_body(lblk, consts_ref, read_rows, keys_ref, out_ref,
-                   read_slab=None, read_same=None):
+                   read_slab=None, read_same=None, signed_bit=False):
     """Shared scan loop: read_rows(j) -> [lblk, >=3*L] slab of table rows for
     step j (entries on sublanes), or read_slab(j) -> [3*L, lblk] already
     limb-major (pre-transposed input; skips the per-step in-kernel
     transpose).  When read_same(j) -> [1, lblk] bool is given, the
     same-segment mask is precomputed outside the kernel (keys_to_sames) and
     the kprev loop state plus both per-half-step compares drop out.
+    With signed_bit=True, read_same(j) instead yields the raw [1, lblk] int32
+    mask word whose bit 0 is the same-segment flag and bit 1 the digit sign;
+    negative digits negate the table row in-kernel (swap y-x/y+x, 4p - 2dt),
+    halving the gathered table to n rows (single-table layout).
 
     Output rows are 2*TW=128 lanes wide holding two consecutive steps: a
     [*, TW=64] output block gets physically padded to 128 lanes by the (8,128)
@@ -99,11 +103,19 @@ def _msm_scan_body(lblk, consts_ref, read_rows, keys_ref, out_ref,
         d2 = slab[0 * L:1 * L]
         s2 = slab[1 * L:2 * L]
         td2 = slab[2 * L:3 * L]
-        # No in-kernel negation: signed digits gather from the pre-negated
-        # half of the doubled table (row index carries the sign), so rows
-        # arrive ready to add.
 
-        if read_same is not None:
+        if signed_bit:
+            # Single-table layout: apply the digit sign here.  Negating an
+            # Edwards point (x,y) -> (-x,y) swaps the cached y-x / y+x rows
+            # and negates 2*d*t (td2 < 2.6p < 3p so fr_neg_lazy's 4p - v is
+            # borrow-free; see ops/pallas/convert.py bounds).
+            bits = read_same(j)                              # [1, lblk] i32
+            same = (bits & 1) != 0
+            neg = (bits & 2) != 0
+            d2, s2 = (jnp.where(neg, s2, d2), jnp.where(neg, d2, s2))
+            td2 = jnp.where(neg, fr_neg_lazy(td2, c), td2)
+            kj = kprev
+        elif read_same is not None:
             same, kj = read_same(j), kprev
         else:
             kj = keys_ref[pl.ds(j, 1), :]                     # [1, lblk]
@@ -267,6 +279,89 @@ def msm_scan_sames(rows_t: jnp.ndarray, sames_t: jnp.ndarray,
         interpret=_interpret_default(interpret),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(consts, rows_t, sames_t)
+
+
+def _msm_scan_signed_kernel(lblk, consts_ref, rows_ref, bits_ref, out_ref):
+    """Single-table variant: rows are gathered from the n-row (non-negated)
+    table; bits_ref packs (same-segment | sign << 1) per step, so negation
+    happens in-kernel (one row swap + one borrow-free 4p - v next to the
+    7-product madd).  Halving the gather's source table from 2n to n rows
+    buys back the XLA gather's table-size penalty
+    (experiments/table_size_probe.py)."""
+    _msm_scan_body(lblk, consts_ref, lambda j: None, None, out_ref,
+                   read_slab=lambda j: rows_ref[0, j, 0:3 * L, :],
+                   read_same=lambda j: bits_ref[pl.ds(j, 1), :],
+                   signed_bit=True)
+
+
+def msm_scan_signed(rows_t: jnp.ndarray, bits_t: jnp.ndarray,
+                    interpret: bool | None = None) -> jnp.ndarray:
+    """rows_t: [NF//lblk, K, 64, lblk] pre-transposed rows gathered from the
+    SINGLE (non-negated) table; bits_t: [K, NF] int32 with bit 0 = same-as-
+    previous (keys_to_sames) and bit 1 = digit sign.  Returns T
+    [NF, K//2, 2*TW] — identical to :func:`msm_scan_sames` fed the doubled
+    pre-negated table."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nfb, _, _, lblk = rows_t.shape
+    nf = nfb * lblk
+    grid = (nfb,)
+    consts = jnp.asarray(make_consts_array())
+    return pl.pallas_call(
+        partial(_msm_scan_signed_kernel, lblk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((L, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, 64, lblk), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, lblk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((lblk, K // 2, 2 * TW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nf, K // 2, 2 * TW), jnp.uint32),
+        interpret=_interpret_default(interpret),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(consts, rows_t, bits_t)
+
+
+def _msm_scan_rm_sames_kernel(lblk, consts_ref, rows_ref, sames_ref, out_ref):
+    """Row-major input + hoisted same-segment mask: reads the XLA gather's
+    natural [lblk, K, TWR] output directly (no gather-side transpose pass —
+    the per-step [lblk, 3L] transpose rides the in-kernel permute unit), with
+    the mask precomputed by keys_to_sames.  Candidate production layout: the
+    XLA transpose feeding the pret kernel costs ~8-10 ms/group while pret only
+    saves ~4-5 (round-3 stages bench); this variant takes neither hit."""
+    _msm_scan_body(lblk, consts_ref, lambda j: rows_ref[:, j, 0:3 * L], None,
+                   out_ref, read_same=lambda j: sames_ref[pl.ds(j, 1), :] != 0)
+
+
+def msm_scan_rm_sames(rows: jnp.ndarray, sames_t: jnp.ndarray,
+                      interpret: bool | None = None) -> jnp.ndarray:
+    """rows: [NF, K, TWR] gathered table rows (pre-negated, row-major — the
+    gather's natural layout); sames_t: [K, NF] from :func:`keys_to_sames`.
+    Returns T [NF, K//2, 2*TW] — identical to :func:`msm_scan` on the same
+    rows/keys."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nf = rows.shape[0]
+    lblk = LBLK
+    while nf % lblk != 0:
+        lblk //= 2
+    grid = (nf // lblk,)
+    consts = jnp.asarray(make_consts_array())
+    return pl.pallas_call(
+        partial(_msm_scan_rm_sames_kernel, lblk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((L, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lblk, K, rows.shape[-1]), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, lblk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((lblk, K // 2, 2 * TW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nf, K // 2, 2 * TW), jnp.uint32),
+        interpret=_interpret_default(interpret),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(consts, rows, sames_t)
 
 
 def msm_scan(rows: jnp.ndarray, keys_t: jnp.ndarray,
