@@ -61,16 +61,29 @@ def device_memory_bytes(default: int = 8 * (1 << 30)) -> int:
     reference sizing its dispatches to the 128 MB binding limit
     (reference: README.md:497-526).
 
-    When the runtime reports no memory stats the fallback is a conservative
-    8 GB (half a v5e): over-estimating risks an OOM mid-pipeline, while
-    under-estimating only splits the work into more window groups (a few ms
-    of extra dispatches)."""
+    When the runtime reports no memory stats (the tunneled axon runtime
+    returns None), HBM capacity is derived from the device-kind string; only
+    an unrecognized kind falls back to a conservative 8 GB.  Over-estimating
+    risks an OOM mid-pipeline; under-estimating splits the work into more
+    window groups (a v5e mis-sized to 8 GB ran 2^20 with window_group 4
+    instead of 8 — worse sort amortization and 2x the per-group fixed kernel
+    costs, see the round-3 XProf trace in experiments/trace_probe.py)."""
+    dev = get_device()
     try:
-        stats = get_device().memory_stats()
+        stats = dev.memory_stats()
         if stats and stats.get("bytes_limit"):
             return int(stats["bytes_limit"])
     except Exception:
         pass
+    kind = getattr(dev, "device_kind", "").lower()
+    gib = 1 << 30
+    #: Published per-chip HBM capacities.
+    for pattern, cap in (
+        ("v5 lite", 16), ("v5e", 16), ("v5p", 95), ("v6 lite", 32),
+        ("v6e", 32), ("v4", 32), ("v3", 16), ("v2", 8),
+    ):
+        if pattern in kind:
+            return cap * gib
     return default
 
 
