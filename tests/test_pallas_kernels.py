@@ -184,6 +184,22 @@ def test_convert_kernel_interpret():
                 assert got % PARAMS.p == PARAMS.to_mont(want_plain), (i, ci)
 
 
+def test_build_table_doubled_matches_pair_interpret():
+    """The one-pass doubled-table kernel (build_table_doubled) is bitwise
+    identical to concatenating build_table_pair's two outputs."""
+    import jax.numpy as jnp
+
+    from webgpu_msm_twisted_edwards_tpu.models.cuzk import prepare_inputs
+    from webgpu_msm_twisted_edwards_tpu.ops.pallas import convert as PC
+
+    pts, _ = random_points_scalars(8, seed=15)
+    coords, _ = prepare_inputs([p.to_affine() for p in pts], [0] * 8)
+    rows, neg = PC.build_table_pair(jnp.asarray(coords), interpret=True)
+    want = np.concatenate([np.asarray(rows), np.asarray(neg)], axis=0)
+    got = np.asarray(PC.build_table_doubled(jnp.asarray(coords), interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_fused_scan_matches_gather_scan_interpret():
     """msm_scan_fused (VMEM-resident table + in-kernel row gather) must be
     bit-identical to msm_scan over pre-gathered rows."""

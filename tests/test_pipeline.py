@@ -210,7 +210,9 @@ def test_default_window_group_derivation():
     ):
         assert MP.default_window_group(1 << 20, 16) == 8
         assert MP.default_window_group(1 << 21, 16) == 4
-        assert MP.default_window_group(1 << 22, 16) == 2
+        # wg=2 at 2^22 measured 1.4% slower than wg=1 (13.1 GB peak, allocator
+        # pressure near the budget edge) — the staging estimate now caps it at 1.
+        assert MP.default_window_group(1 << 22, 16) == 1
         assert MP.default_window_group(1 << 16, 20) == 20
     # A smaller chip gets a smaller cap, never zero.
     with mock.patch(

@@ -101,12 +101,12 @@ def build_table(coords_u32: jnp.ndarray, interpret: bool | None = None) -> jnp.n
 
 def build_full_table(coords_u32: jnp.ndarray, interpret: bool | None = None) -> jnp.ndarray:
     """[n, 2, 8] -> [2n, TWR]: rows 0..n-1 are the points, rows n..2n-1 their
-    negations (both produced by the convert kernel), so a signed digit's sign
-    rides the gather index (row + n) and the scan kernel needs no per-entry
+    negations (both produced by the convert kernel in one pass,
+    PC.build_table_doubled — no concat copy), so a signed digit's sign rides
+    the gather index (row + n) and the scan kernel needs no per-entry
     negation (the signed-bucket negation of smvp.template.wgsl:47-56,
     precomputed once per point instead of per (window, entry))."""
-    rows, neg_rows = PC.build_table_pair(coords_u32, interpret=interpret)
-    return jnp.concatenate([rows, neg_rows], axis=0)
+    return PC.build_table_doubled(coords_u32, interpret=interpret)
 
 
 def build_prod_table(coords_u32: jnp.ndarray, interpret: bool | None = None) -> jnp.ndarray:
@@ -267,9 +267,12 @@ def window_group_bucket_sums(
 #: Empirical peak device-memory footprint per staged (window, point) entry in
 #: one window group: gather output (512 B physical) + scan output (256 B,
 #: pair-packed) + sort keys/payloads + XLA copies.  Round-1 measured ~13 GB
-#: peak at 2^22 with window_group=2; with the doubled table accounted
-#: separately, 1050 B/entry at a 0.85 budget reproduces the same caps.
-_STAGING_BYTES_PER_ENTRY = 1050
+#: peak at 2^22 with window_group=2; 1300 B/entry at a 0.85 budget (table
+#: accounted separately) yields the measured-fastest caps on 16 GB: wg=8 at
+#: 2^20 (472.3 ms), 4 at 2^21 (929.9), 1 at 2^22 (wg=2 ran 13.1 GB peak and
+#: measured 1.4% SLOWER than wg=1 — allocator pressure near the budget edge,
+#: round-3 bench logs).
+_STAGING_BYTES_PER_ENTRY = 1300
 
 
 def default_window_group(n: int, num_windows: int) -> int:

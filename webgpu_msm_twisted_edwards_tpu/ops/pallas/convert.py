@@ -110,3 +110,61 @@ def build_table(coords_u32: jnp.ndarray, interpret: bool | None = None) -> jnp.n
     """[n, 2, 8] affine coordinate words -> [n, TW] Montgomery table rows
     in cached form (y-x, y+x, 2*d*t unpacked limbs)."""
     return build_table_pair(coords_u32, interpret=interpret)[0]
+
+
+def _convert_kernel_full(lblk, consts_ref, words_ref, out_ref):
+    """Same math as _convert_kernel but writes both halves of the doubled
+    table into ONE [2, lblk, TW] block (dim 0: 0 = points, 1 = negations), so
+    the caller's [2, n, TW] output reshapes to the [2n, TW] doubled table for
+    free — retiring the 1 GB concatenate copy the two-output variant needed
+    (XProf: 3.3 ms at 2^20, experiments/trace_probe.py)."""
+    from .common import carry_sweep, fr_add_lazy, fr_sub_lazy
+
+    c = load_consts(consts_ref)
+    wds = jnp.transpose(words_ref[:])              # [16, lblk]
+    x = _limbs_from_words(wds[0:8], 8)
+    y = _limbs_from_words(wds[8:16], 8)
+    r2 = jnp.broadcast_to(c.r2, x.shape)
+    xm = mont_mul(x, r2, c.p)
+    ym = mont_mul(y, r2, c.p)
+    tm = mont_mul(xm, ym, c.p)
+    tdm = mont_mul(tm, jnp.broadcast_to(c.d, x.shape), c.p)
+    dm = fr_sub_lazy(ym, xm, c)                    # y - x (+4p)
+    sm = fr_add_lazy(xm, ym)                       # y + x
+    td2 = fr_add_lazy(tdm, tdm)                    # 2*d*t
+    pad = jnp.zeros((TW - 3 * L, lblk), jnp.uint32)
+    out_ref[0, :, :] = jnp.transpose(jnp.concatenate([dm, sm, td2, pad], axis=0))
+    q4 = jnp.broadcast_to(c.q4, xm.shape)
+    ntd2 = carry_sweep(q4 - td2)
+    out_ref[1, :, :] = jnp.transpose(jnp.concatenate([sm, dm, ntd2, pad], axis=0))
+
+
+def build_table_doubled(coords_u32: jnp.ndarray,
+                        interpret: bool | None = None) -> jnp.ndarray:
+    """[n, 2, 8] affine coordinate words -> [2n, TW] doubled table (rows
+    0..n-1 the points, n..2n-1 their negations) written in place by the
+    convert kernel — bit-identical to concatenating build_table_pair's
+    outputs, without the concat copy."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = coords_u32.shape[0]
+    words = coords_u32.reshape(n, 16)
+    lblk = CBLK
+    while n % lblk != 0:
+        lblk //= 2
+    grid = (n // lblk,)
+    consts = jnp.asarray(make_consts_array())
+    out = pl.pallas_call(
+        partial(_convert_kernel_full, lblk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((L, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lblk, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, lblk, TW), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, n, TW), jnp.uint32),
+        interpret=_interpret_default(interpret),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(consts, words)
+    return out.reshape(2 * n, TW)
