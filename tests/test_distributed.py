@@ -82,9 +82,11 @@ def test_two_process_distributed_msm(tmp_path):
     ]
     outs = []
     for p in procs:
-        # The interpret-mode shard pipeline compiles ~5-8 min per process
-        # on CPU, longer when the machine is loaded.
-        out, _ = p.communicate(timeout=1500)
+        # The interpret-mode shard pipeline compiles ~5-8 min per process on
+        # CPU; a loaded machine (e.g. another compile-heavy pytest in
+        # parallel) has been seen to push one worker past 25 min, so the
+        # budget is generous — a hung worker still fails, just late.
+        out, _ = p.communicate(timeout=2700)
         outs.append(out)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-3000:]

@@ -89,8 +89,8 @@ def test_tpu_msm_config_boundaries():
     from webgpu_msm_twisted_edwards_tpu.utils.params import tpu_msm_config
 
     assert tpu_msm_config(1 << 12).chunk_size == 13
-    assert tpu_msm_config(1 << 19).chunk_size == 13
-    assert tpu_msm_config(1 << 20).chunk_size == 16
+    assert tpu_msm_config(1 << 18).chunk_size == 13
+    assert tpu_msm_config(1 << 19).chunk_size == 16
     assert tpu_msm_config(1 << 22).chunk_size == 16
     # Window counts stay integral for grouping.
     assert tpu_msm_config(1 << 16).num_windows == 20

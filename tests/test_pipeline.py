@@ -294,6 +294,33 @@ def test_rm_layout_matches_pret_interpret(monkeypatch):
     assert (a == b).all()
 
 
+def test_compute_msm_device_resident_inputs():
+    """compute_msm accepts DEVICE-RESIDENT jax arrays first-class (the
+    production pattern: SRS + witness already in HBM), including the
+    scalar-domain guard running as one device-side compare — an oversized
+    scalar must still be reduced mod the subgroup order."""
+    import jax.numpy as jnp
+
+    from webgpu_msm_twisted_edwards_tpu.utils.params import SUBGROUP_ORDER
+
+    pts, scalars, coords, sc = _inputs(16, seed=91)
+    want = cuzk.compute_msm([p.to_affine() for p in pts], scalars,
+                            chunk_size=4, bpr_chunks=4)
+    got = cuzk.compute_msm(jnp.asarray(np.asarray(coords)),
+                           jnp.asarray(np.asarray(sc)),
+                           chunk_size=4, bpr_chunks=4)
+    assert got == want
+    # Oversized scalar in raw words through the device guard path.
+    big = [SUBGROUP_ORDER + 5] + scalars[1:]
+    raw = L.ints_to_u32_words(big)
+    got2 = cuzk.compute_msm(jnp.asarray(np.asarray(coords)), jnp.asarray(raw),
+                            chunk_size=4, bpr_chunks=4)
+    want2 = cuzk.compute_msm([p.to_affine() for p in pts],
+                             [b % SUBGROUP_ORDER for b in big],
+                             chunk_size=4, bpr_chunks=4)
+    assert got2 == want2
+
+
 def test_compute_msm_batch_matches_single():
     """compute_msm_batch (one point set, many scalar vectors — table reused)
     must agree element-wise with one-shot compute_msm."""

@@ -26,6 +26,8 @@ def main(argv=None):
     p_batch = sub.add_parser("batch", help="batch MSM (one point set, k scalar vectors) vs one-shot")
     p_batch.add_argument("--power", type=int, default=18)
     p_batch.add_argument("--k", type=int, default=4)
+    p_batch.add_argument("--resident", action="store_true",
+                         help="pre-stage inputs on device (measure engine, not the host link)")
 
     p_sweep = sub.add_parser("sweep", help="window-size (chunk_size) sweep on TPU")
     p_sweep.add_argument("--powers", type=int, nargs="+", default=[18, 19, 20])
@@ -51,7 +53,7 @@ def main(argv=None):
     if args.cmd == "full":
         table = full.run(powers=tuple(args.powers), runs=args.runs, csv_path=args.csv)
     elif args.cmd == "batch":
-        table = full.run_batch(power=args.power, k=args.k)
+        table = full.run_batch(power=args.power, k=args.k, resident=args.resident)
     elif args.cmd == "sweep":
         table = full.sweep(powers=tuple(args.powers), chunks=tuple(args.chunks),
                            runs=args.runs)

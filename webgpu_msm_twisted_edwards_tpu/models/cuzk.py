@@ -107,21 +107,47 @@ def prepare_inputs(
     src/reference/webgpu/utils.ts:90-103).  Points may be (x, y) tuples,
     BigIntPoint-style dicts with "x"/"y" keys (reference:
     src/reference/types.ts:1-6), or a pre-packed [n, 2, 8] uint32 array."""
-    if isinstance(points, np.ndarray) and points.dtype == np.uint32:
-        coords = points
+    if _is_packed_u32(points):
+        coords = points                 # host- or device-resident, pre-packed
     else:
         pts = [(p["x"], p["y"]) if isinstance(p, dict) else p for p in points]
         xs = [p[0] for p in pts]
         ys = [p[1] for p in pts]
         coords = np.stack([L.ints_to_u32_words(xs), L.ints_to_u32_words(ys)], axis=1)
-    if isinstance(scalars, np.ndarray) and scalars.dtype == np.uint32:
+    if _is_packed_u32(scalars):
         sc = scalars
     else:
         sc = L.ints_to_u32_words(list(scalars))
     return coords, reduce_scalars_mod_order(sc)
 
 
-def reduce_scalars_mod_order(sc: np.ndarray) -> np.ndarray:
+def _is_packed_u32(arr) -> bool:
+    """True for pre-packed uint32 input arrays — host numpy or DEVICE-RESIDENT
+    jax arrays.  Device-resident inputs are first-class (the production
+    pattern: a proving system already holds the SRS and witness scalars in
+    HBM, and re-staging 64 MB of coordinates per MSM would dominate)."""
+    if isinstance(arr, np.ndarray):
+        return arr.dtype == np.uint32
+    return isinstance(arr, jax.Array) and arr.dtype == jnp.uint32
+
+
+@jax.jit
+def _any_scalar_ge_order(sc: jnp.ndarray) -> bool:
+    """Device-side guard check for device-resident scalars: one jitted
+    lexicographic compare, one scalar fetched.  Module-level jit — a fresh
+    jax.jit wrapper per call would RECOMPILE this tiny program every MSM
+    (~350 ms on the remote compile helper, measured via `benchmarks batch
+    --resident`)."""
+    order_words = jnp.asarray(L.ints_to_u32_words([SUBGROUP_ORDER])[0])
+    ge = jnp.ones(sc.shape[0], bool)
+    gt = jnp.zeros(sc.shape[0], bool)
+    for i in range(sc.shape[1] - 1, -1, -1):
+        gt = gt | (ge & (sc[:, i] > order_words[i]))
+        ge = ge & (sc[:, i] == order_words[i])
+    return jnp.any(gt | ge)
+
+
+def reduce_scalars_mod_order(sc) -> np.ndarray:
     """Scalar-domain guard: reduce any scalar >= the subgroup order mod that
     order (for subgroup points, k*P == (k mod order)*P, so the result is
     unchanged — but the signed window decomposition would silently drop its
@@ -129,7 +155,13 @@ def reduce_scalars_mod_order(sc: np.ndarray) -> np.ndarray:
 
     The reference instead throws on the final carry
     (reference: src/submission/miscellaneous/utils.ts:81-84); reducing keeps
-    the full 256-bit input domain valid.  sc: [n, 8] uint32 LE words."""
+    the full 256-bit input domain valid.  sc: [n, 8] uint32 LE words — host
+    numpy, or device-resident (checked with one jitted device compare; only
+    the rare oversized case pulls the array to the host)."""
+    if isinstance(sc, jax.Array) and not isinstance(sc, np.ndarray):
+        if not bool(_any_scalar_ge_order(sc)):
+            return sc
+        sc = np.asarray(sc)
     order_words = L.ints_to_u32_words([SUBGROUP_ORDER])[0]
     # Vectorized lexicographic compare, most-significant word first.
     ge = np.ones(sc.shape[0], dtype=bool)   # tracks "equal so far" -> ">= order"
@@ -145,6 +177,18 @@ def reduce_scalars_mod_order(sc: np.ndarray) -> np.ndarray:
         v = L.words_le_to_int(sc[row].astype(np.uint64), 32) % SUBGROUP_ORDER
         sc[row] = L.ints_to_u32_words([v])[0]
     return sc
+
+
+def _pad_points(coords, pad: int):
+    """Append `pad` copies of row 0 (any valid point; its digits are zero).
+    Uses jnp for device-resident inputs so padding stays on device."""
+    xp = jnp if isinstance(coords, jax.Array) and not isinstance(coords, np.ndarray) else np
+    return xp.concatenate([coords, xp.tile(coords[:1], (pad, 1, 1))], axis=0)
+
+
+def _pad_zero_scalars(sc, pad: int):
+    xp = jnp if isinstance(sc, jax.Array) and not isinstance(sc, np.ndarray) else np
+    return xp.concatenate([sc, xp.zeros((pad, 8), xp.uint32)], axis=0)
 
 
 def packed_rows_to_extpoints(rows: np.ndarray) -> list[ExtPoint]:
@@ -237,9 +281,8 @@ def compute_msm(
         # sort to the sentinel tail and contribute nothing.
         target = max(4096, -(-n // 4096) * 4096)
         if target != n:
-            pad = target - n
-            coords = np.concatenate([coords, np.tile(coords[:1], (pad, 1, 1))], axis=0)
-            sc = np.concatenate([sc, np.zeros((pad, 8), dtype=np.uint32)], axis=0)
+            coords = _pad_points(coords, target - n)
+            sc = _pad_zero_scalars(sc, target - n)
         from ..ops import msm_pipeline as MP
 
         # fold=True: the BPR program ends with the device Horner fold, so the
@@ -290,13 +333,23 @@ def compute_msm_batch(
 
     coords, _ = prepare_inputs(points, [])
     n = coords.shape[0]
-    scs = [
-        reduce_scalars_mod_order(
-            sc if isinstance(sc, np.ndarray) and sc.dtype == np.uint32
-            else L.ints_to_u32_words(list(sc))
-        )
+    packed = [
+        sc if _is_packed_u32(sc) else L.ints_to_u32_words(list(sc))
         for sc in scalars_list
     ]
+    if packed and all(
+        isinstance(sc, jax.Array) and not isinstance(sc, np.ndarray)
+        for sc in packed
+    ):
+        # Device-resident batch: ONE stacked guard compare for all k vectors
+        # (a per-vector bool fetch is a ~30 ms sync each that would serialize
+        # the batch's dispatch pipelining).
+        if bool(_any_scalar_ge_order(jnp.concatenate(packed, axis=0))):
+            scs = [reduce_scalars_mod_order(np.asarray(sc)) for sc in packed]
+        else:
+            scs = packed
+    else:
+        scs = [reduce_scalars_mod_order(sc) for sc in packed]
     if chunk_size is None:
         cfg = tpu_msm_config(n) if jax.default_backend() == "tpu" and n >= 4096 else default_msm_config(n)
     else:
@@ -311,9 +364,8 @@ def compute_msm_batch(
         ]
     target = max(4096, -(-n // 4096) * 4096)
     if target != n:
-        pad = target - n
-        coords = np.concatenate([coords, np.tile(coords[:1], (pad, 1, 1))], axis=0)
-        scs = [np.concatenate([sc, np.zeros((pad, 8), np.uint32)], axis=0) for sc in scs]
+        coords = _pad_points(coords, target - n)
+        scs = [_pad_zero_scalars(sc, target - n) for sc in scs]
     rows_list = MP.msm_window_sums_batch(
         jnp.asarray(coords), [jnp.asarray(sc) for sc in scs], cfg,
         interpret=interpret, fold=True,

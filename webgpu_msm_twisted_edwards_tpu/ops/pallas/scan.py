@@ -194,6 +194,47 @@ def msm_scan_fused(table: jnp.ndarray, pidx_t: jnp.ndarray, keys_t: jnp.ndarray,
     )(consts, pidx_t, keys_t, table)
 
 
+
+def _scan_pallas_call(kernel_body, rows: jnp.ndarray, aux_t: jnp.ndarray,
+                      interpret: bool | None) -> jnp.ndarray:
+    """Shared launcher for every scan variant: rows is either the row-major
+    [NF, K, TWR] gather output or the limb-major [NF//lblk, K, 64, lblk]
+    pre-transposed layout; aux_t is the [K, NF] per-step word (sorted keys,
+    same-segment bits, or sign|same bits).  kernel_body(lblk, consts_ref,
+    rows_ref, aux_ref, out_ref) is the variant's kernel.  Returns T
+    [NF, K//2, 2*TW] (step pairs side by side per 128-lane row)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if rows.ndim == 4:
+        nfb, _, _, lblk = rows.shape
+        nf = nfb * lblk
+        rows_spec = pl.BlockSpec((1, K, 64, lblk), lambda i: (i, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        nf = rows.shape[0]
+        lblk = LBLK
+        while nf % lblk != 0:
+            lblk //= 2
+        rows_spec = pl.BlockSpec((lblk, K, rows.shape[-1]), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    consts = jnp.asarray(make_consts_array())
+    return pl.pallas_call(
+        partial(kernel_body, lblk),
+        grid=(nf // lblk,),
+        in_specs=[
+            pl.BlockSpec((L, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            rows_spec,
+            pl.BlockSpec((K, lblk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((lblk, K // 2, 2 * TW), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nf, K // 2, 2 * TW), jnp.uint32),
+        interpret=_interpret_default(interpret),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(consts, rows, aux_t)
+
+
 def _msm_scan_pret_kernel(lblk, consts_ref, rows_ref, keys_ref, out_ref):
     """Pre-transposed variant: rows_ref [1, K, 64, lblk] limb-major slabs
     (cols 0..3L-1 = y-x, y+x, 2*d*t), so each step reads its [3L, lblk] slab
@@ -210,26 +251,7 @@ def msm_scan_pret(rows_t: jnp.ndarray, keys_t: jnp.ndarray,
     """rows_t: [NF//lblk, K, 64, lblk] pre-transposed gathered rows;
     keys_t: [K, NF].  Returns T [NF, K//2, 2*TW] — identical to
     :func:`msm_scan` on the un-transposed layout."""
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    nfb, _, _, lblk = rows_t.shape
-    nf = nfb * lblk
-    grid = (nfb,)
-    consts = jnp.asarray(make_consts_array())
-    return pl.pallas_call(
-        partial(_msm_scan_pret_kernel, lblk),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((L, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, 64, lblk), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, lblk), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((lblk, K // 2, 2 * TW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nf, K // 2, 2 * TW), jnp.uint32),
-        interpret=_interpret_default(interpret),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(consts, rows_t, keys_t)
+    return _scan_pallas_call(_msm_scan_pret_kernel, rows_t, keys_t, interpret)
 
 
 def _msm_scan_sames_kernel(lblk, consts_ref, rows_ref, sames_ref, out_ref):
@@ -259,26 +281,7 @@ def msm_scan_sames(rows_t: jnp.ndarray, sames_t: jnp.ndarray,
     """rows_t: [NF//lblk, K, 64, lblk] pre-transposed gathered rows;
     sames_t: [K, NF] from :func:`keys_to_sames`.  Returns T
     [NF, K//2, 2*TW] — identical to :func:`msm_scan_pret` on the same rows."""
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    nfb, _, _, lblk = rows_t.shape
-    nf = nfb * lblk
-    grid = (nfb,)
-    consts = jnp.asarray(make_consts_array())
-    return pl.pallas_call(
-        partial(_msm_scan_sames_kernel, lblk),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((L, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, 64, lblk), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, lblk), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((lblk, K // 2, 2 * TW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nf, K // 2, 2 * TW), jnp.uint32),
-        interpret=_interpret_default(interpret),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(consts, rows_t, sames_t)
+    return _scan_pallas_call(_msm_scan_sames_kernel, rows_t, sames_t, interpret)
 
 
 def _msm_scan_signed_kernel(lblk, consts_ref, rows_ref, bits_ref, out_ref):
@@ -301,26 +304,7 @@ def msm_scan_signed(rows_t: jnp.ndarray, bits_t: jnp.ndarray,
     previous (keys_to_sames) and bit 1 = digit sign.  Returns T
     [NF, K//2, 2*TW] — identical to :func:`msm_scan_sames` fed the doubled
     pre-negated table."""
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    nfb, _, _, lblk = rows_t.shape
-    nf = nfb * lblk
-    grid = (nfb,)
-    consts = jnp.asarray(make_consts_array())
-    return pl.pallas_call(
-        partial(_msm_scan_signed_kernel, lblk),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((L, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, 64, lblk), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, lblk), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((lblk, K // 2, 2 * TW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nf, K // 2, 2 * TW), jnp.uint32),
-        interpret=_interpret_default(interpret),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(consts, rows_t, bits_t)
+    return _scan_pallas_call(_msm_scan_signed_kernel, rows_t, bits_t, interpret)
 
 
 def _msm_scan_rm_sames_kernel(lblk, consts_ref, rows_ref, sames_ref, out_ref):
@@ -340,56 +324,14 @@ def msm_scan_rm_sames(rows: jnp.ndarray, sames_t: jnp.ndarray,
     gather's natural layout); sames_t: [K, NF] from :func:`keys_to_sames`.
     Returns T [NF, K//2, 2*TW] — identical to :func:`msm_scan` on the same
     rows/keys."""
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    nf = rows.shape[0]
-    lblk = LBLK
-    while nf % lblk != 0:
-        lblk //= 2
-    grid = (nf // lblk,)
-    consts = jnp.asarray(make_consts_array())
-    return pl.pallas_call(
-        partial(_msm_scan_rm_sames_kernel, lblk),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((L, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((lblk, K, rows.shape[-1]), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, lblk), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((lblk, K // 2, 2 * TW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nf, K // 2, 2 * TW), jnp.uint32),
-        interpret=_interpret_default(interpret),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(consts, rows, sames_t)
+    return _scan_pallas_call(_msm_scan_rm_sames_kernel, rows, sames_t, interpret)
 
 
 def msm_scan(rows: jnp.ndarray, keys_t: jnp.ndarray,
              interpret: bool | None = None) -> jnp.ndarray:
     """rows: [NF, K, TWR] (pre-negated); keys_t: [K, NF].  Returns T
     [NF, K//2, 2*TW] — steps (2i, 2i+1) side by side per 128-lane row."""
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    nf = rows.shape[0]
-    lblk = LBLK
-    while nf % lblk != 0:
-        lblk //= 2
-    grid = (nf // lblk,)
-    consts = jnp.asarray(make_consts_array())
-    return pl.pallas_call(
-        partial(_msm_scan_kernel, lblk),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((L, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((lblk, K, rows.shape[-1]), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, lblk), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((lblk, K // 2, 2 * TW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nf, K // 2, 2 * TW), jnp.uint32),
-        interpret=_interpret_default(interpret),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(consts, rows, keys_t)
+    return _scan_pallas_call(_msm_scan_kernel, rows, keys_t, interpret)
 
 
 # ---------------------------------------------------------------------------

@@ -188,9 +188,12 @@ def default_msm_config(n: int) -> MsmConfig:
 
 
 def tpu_msm_config(n: int) -> MsmConfig:
-    """Window sizing for the TPU Pallas pipeline, from a measured sweep on
-    v5e: below 2^20 the fixed per-bucket machinery (BPR, extraction — all
-    O(num_windows * 2^(c-1))) outweighs the extra scan work of more windows,
-    so c=13 wins (e.g. 2^16: 83 ms vs 169 ms); at 2^20+ the O(n * windows)
-    scan/gather work dominates and c=16 wins."""
-    return MsmConfig(chunk_size=13 if n < (1 << 20) else 16)
+    """Window sizing for the TPU Pallas pipeline, from measured sweeps on
+    v5e (`benchmarks sweep`): below 2^19 the fixed per-bucket machinery
+    (BPR, extraction — all O(num_windows * 2^(c-1))) outweighs the extra
+    scan work of more windows, so c=13 wins (2^18: 155 vs 171 ms); from 2^19
+    the O(n * windows) scan/gather work dominates and c=16 wins (2^19: 266
+    vs 277 ms).  The crossover sat at 2^20 in round 2 and moved down one
+    power when the MXU histogram + row-major layout removed most per-bucket
+    glue — re-sweep after any change to the fixed costs."""
+    return MsmConfig(chunk_size=13 if n < (1 << 19) else 16)
