@@ -151,7 +151,7 @@ def main():
         # The first run compiles through a remote helper whose latency varies
         # wildly with service load (observed 136 s .. 1080 s for identical
         # programs on the same day); steady-state runs are unaffected.
-        "compile_note": "remote compile service, high variance; no persistent cache on this rig",
+        "compile_note": "remote compile service, high variance; stage programs warm-compile in parallel threads (warmup_staged); no persistent cache on this rig",
         "runs_ms": [round(t, 1) for t in times],
         "msm_per_sec": round(1000.0 / med, 3),
         "points_per_sec": round(n / (med / 1000.0)),

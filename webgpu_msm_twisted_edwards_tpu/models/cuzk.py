@@ -220,6 +220,7 @@ def _clear_pallas_pipeline_caches():
                MP._mono_pipeline, MP._mono_pipeline_total,
                MP._stage_combine, MP._stage_fold):
         fn.clear_cache()
+    MP._WARMED.clear()
 
 
 def compute_msm(

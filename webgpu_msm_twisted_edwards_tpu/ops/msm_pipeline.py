@@ -403,6 +403,81 @@ def _mono_pipeline_total(coords_u32, scalars_u32, chunk_size: int,
     return PB.horner_fold(sums, chunk_size, interpret=interpret)
 
 
+#: Shape classes already warm-compiled (see warmup_staged).
+_WARMED: set = set()
+
+
+def warmup_staged(
+    n: int,
+    cfg: MsmConfig,
+    window_group: int = 0,
+    interpret: bool | None = None,
+    fold: bool = True,
+) -> float:
+    """Compile the staged pipeline's programs for shape class (n, cfg) in
+    PARALLEL threads, using zero-filled arrays of the right shapes.
+
+    The remote compile helper overlaps concurrent compilations from one
+    process (experiments/parallel_compile_probe2.py: two ~30 s stage
+    compiles finish in 38.5 s wall instead of ~60 s serial; two PROCESSES
+    would wedge it, threads do not), so the cold start pays ~max of the
+    stage compile times instead of their sum.  Returns seconds spent.
+    The reference's analogue is the driver-side shader cache warm-up
+    (shader_manager.ts:85-92); XLA compile is this framework's shader
+    compile.  No-op for already-warm shape classes and under interpret."""
+    import threading
+    import time as _time
+
+    from .pallas.common import interpret_default
+
+    if interpret_default(interpret):
+        return 0.0
+    w = cfg.num_windows
+    nb = cfg.num_buckets
+    if n >= _MONOLITHIC_MAX_N and window_group == 0:
+        window_group = default_window_group(n, w)
+    key = (n, cfg.chunk_size, window_group, fold, _SINGLE_TABLE, _SCAN_LAYOUT)
+    if key in _WARMED:
+        return 0.0
+    t0 = _time.time()
+    coords = jnp.zeros((n, 2, 8), jnp.uint32)
+    sc = jnp.zeros((n, 8), jnp.uint32)
+    if n < _MONOLITHIC_MAX_N and window_group == 0:
+        # Single program below the staged threshold — nothing to overlap.
+        fn = _mono_pipeline_total if fold else _mono_pipeline
+        fn(coords, sc, chunk_size=cfg.chunk_size, interpret=interpret)
+        _WARMED.add(key)
+        return _time.time() - t0
+    groups = w // window_group
+    tf = 1 if _SINGLE_TABLE else 2
+    table = jnp.zeros((tf * n, PS.TWR), jnp.uint32)
+    digits_t = jnp.zeros((w, n), jnp.int32)
+    rows = tuple(jnp.zeros((window_group * nb, TW), jnp.uint32)
+                 for _ in range(groups))
+
+    def run_table():
+        _stage_table_digits(coords, sc, chunk_size=cfg.chunk_size,
+                            interpret=interpret)
+
+    def run_group():
+        _stage_group(table, digits_t, np.int32(0), nb=nb, wg=window_group,
+                     interpret=interpret)
+
+    def run_bpr():
+        if fold:
+            _stage_bpr_total(rows, w=w, cbits=cfg.chunk_size, interpret=interpret)
+        else:
+            _stage_bpr(rows, w=w, interpret=interpret)
+
+    threads = [threading.Thread(target=t) for t in (run_table, run_group, run_bpr)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    _WARMED.add(key)
+    return _time.time() - t0
+
+
 def msm_window_sums_staged(
     coords_u32: jnp.ndarray,
     scalars_u32: jnp.ndarray,
@@ -432,6 +507,11 @@ def msm_window_sums_staged(
         window_group = default_window_group(n, w)
     assert w % window_group == 0
     groups = w // window_group
+
+    # First call per shape class: compile the stage programs in parallel
+    # threads (~max instead of sum of compile times; see warmup_staged).
+    warmup_staged(n, cfg, window_group=window_group, interpret=interpret,
+                  fold=fold)
 
     table, digits_t = _stage_table_digits(
         coords_u32, scalars_u32, chunk_size=cfg.chunk_size, interpret=interpret
