@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .common import L, LP, MASK, W, load_consts, make_consts_array, mont_mul
+from .common import L, LP, MASK, W, load_consts, make_consts_array, mont_many, mont_mul
 from .scan import TWR as TW, _interpret_default
 
 #: Points per kernel block.
@@ -58,8 +58,9 @@ def _convert_kernel(lblk, consts_ref, words_ref, out_ref, neg_ref):
     x = _limbs_from_words(wds[0:8], 8)
     y = _limbs_from_words(wds[8:16], 8)
     r2 = jnp.broadcast_to(c.r2, x.shape)
-    xm = mont_mul(x, r2, c.p)
-    ym = mont_mul(y, r2, c.p)
+    # x*R and y*R are independent — batch them (the single-product rate is
+    # the sequential qi-chain bound, ~350 M/s vs ~660 M/s for a 2-batch).
+    xm, ym = mont_many([(x, r2), (y, r2)], c.p)
     tm = mont_mul(xm, ym, c.p)
     tdm = mont_mul(tm, jnp.broadcast_to(c.d, x.shape), c.p)
     dm = fr_sub_lazy(ym, xm, c)                    # y - x (+4p)
@@ -125,8 +126,7 @@ def _convert_kernel_full(lblk, consts_ref, words_ref, out_ref):
     x = _limbs_from_words(wds[0:8], 8)
     y = _limbs_from_words(wds[8:16], 8)
     r2 = jnp.broadcast_to(c.r2, x.shape)
-    xm = mont_mul(x, r2, c.p)
-    ym = mont_mul(y, r2, c.p)
+    xm, ym = mont_many([(x, r2), (y, r2)], c.p)    # independent: 2-batch
     tm = mont_mul(xm, ym, c.p)
     tdm = mont_mul(tm, jnp.broadcast_to(c.d, x.shape), c.p)
     dm = fr_sub_lazy(ym, xm, c)                    # y - x (+4p)
