@@ -116,6 +116,64 @@ def test_sharded_pallas_non_power_of_2_mesh():
     assert total.to_affine() == want
 
 
+@pytest.mark.skipif(not oracle.available(), reason="liboracle.so not built")
+def test_batch_sharded_matches_oracle():
+    """Batch-axis sharding (compute_msm_batch_sharded): k=5 scalar vectors on
+    a 4-device mesh (padded to 8 with zero vectors, padding dropped), points
+    replicated, XLA pipeline — each result equals the oracle's MSM."""
+    n = 64
+    pts, scalars0 = random_points_scalars(n, seed=77)
+    aff = [p.to_affine() for p in pts]
+    rng = np.random.default_rng(78)
+    from webgpu_msm_twisted_edwards_tpu.utils.params import SUBGROUP_ORDER
+
+    scalar_sets = [scalars0] + [
+        [int(rng.integers(0, 1 << 62)) % SUBGROUP_ORDER for _ in range(n)]
+        for _ in range(4)
+    ]
+    mesh = sharded.default_mesh(4)
+    got = sharded.compute_msm_batch_sharded(
+        aff, scalar_sets, mesh=mesh, chunk_size=4, bpr_chunks=4
+    )
+    assert len(got) == 5
+    for res, sc in zip(got, scalar_sets):
+        want = oracle.msm(aff, sc)
+        assert (res["x"], res["y"]) == want
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("RUN_SLOW") or not oracle.available(),
+    reason="extra interpret-mode pipeline compile (~13 min CPU); RUN_SLOW=1",
+)
+def test_batch_sharded_pallas_virtual_mesh():
+    """The Pallas batch-axis path (sharded_msm_batch_rows: per-device full
+    pipeline + device Horner fold under lax.map) on a 2-device virtual mesh
+    in interpreter mode, each result verified against the oracle."""
+    from webgpu_msm_twisted_edwards_tpu.models import cuzk
+    from webgpu_msm_twisted_edwards_tpu.utils.params import MsmConfig, SUBGROUP_ORDER
+
+    n = 64
+    pts, scalars0 = random_points_scalars(n, seed=79)
+    aff = [p.to_affine() for p in pts]
+    rng = np.random.default_rng(80)
+    scalar_sets = [scalars0] + [
+        [int(rng.integers(0, 1 << 62)) % SUBGROUP_ORDER for _ in range(n)]
+        for _ in range(1)
+    ]
+    coords, _ = cuzk.prepare_inputs(aff, [])
+    scs = np.stack([cuzk.prepare_inputs(aff, sc)[1] for sc in scalar_sets])
+    mesh = sharded.default_mesh(2)
+    import jax.numpy as jnp
+
+    rows = np.asarray(sharded.sharded_msm_batch_rows(
+        jnp.asarray(coords), jnp.asarray(scs), mesh, MsmConfig(chunk_size=8)
+    ))
+    for i, sc in enumerate(scalar_sets):
+        want = oracle.msm(aff, sc)
+        total = cuzk.packed_rows_to_extpoints(rows[i:i + 1])[0]
+        assert total.to_affine() == want
+
+
 def test_sharded_pallas_rejects_bad_divisibility():
     """A shard size not a multiple of the K=64 scan fragment must be refused
     (it would silently mis-bucket), per the pipeline invariant."""

@@ -20,6 +20,14 @@ def compute_msm_sharded(points, scalars, **kwargs):
     return _f(points, scalars, **kwargs)
 
 
+def compute_msm_batch_sharded(points, scalars_list, **kwargs):
+    """Multi-device batch MSM: k MSMs over one point set, the batch axis
+    sharded (see parallel.sharded.compute_msm_batch_sharded)."""
+    from .parallel.sharded import compute_msm_batch_sharded as _f
+
+    return _f(points, scalars_list, **kwargs)
+
+
 def validate_pipeline(points, scalars, **kwargs):
     """Per-stage device-vs-mirror validation (see ops.debug.validate_pipeline)."""
     from .ops.debug import validate_pipeline as _f
@@ -31,6 +39,7 @@ __all__ = [
     "compute_msm",
     "compute_msm_batch",
     "compute_msm_sharded",
+    "compute_msm_batch_sharded",
     "validate_pipeline",
     "P",
     "EDWARDS_A",

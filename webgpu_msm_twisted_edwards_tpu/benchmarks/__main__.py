@@ -36,6 +36,9 @@ def main(argv=None):
 
     p_scale = sub.add_parser("scaling", help="multi-chip scaling sweep")
     p_scale.add_argument("--power", type=int, default=18)
+    p_scale.add_argument("--mode", choices=("points", "batch"), default="points",
+                         help="shard ONE MSM's points (latency) or a BATCH of "
+                              "MSMs over a fixed SRS (throughput)")
 
     p_trace = sub.add_parser("trace", help="capture an XProf device trace of one MSM")
     p_trace.add_argument("--power", type=int, default=16)
@@ -62,7 +65,7 @@ def main(argv=None):
     elif args.cmd == "scaling":
         from . import scaling
 
-        table = scaling.run(log2n=args.power)
+        table = scaling.run(log2n=args.power, mode=args.mode)
     elif args.cmd == "trace":
         table = micro.trace(power=args.power, log_dir=args.log_dir)
     else:

@@ -22,7 +22,11 @@ from ..utils.params import MsmConfig
 from .timing import Table, median
 
 
-def run(log2n: int = 18, runs: int = 3) -> Table:
+def run(log2n: int = 18, runs: int = 3, mode: str = "points") -> Table:
+    """mode="points": shard ONE MSM's point axis (latency scaling — speedup
+    column).  mode="batch": k MSMs over a fixed SRS with the BATCH axis
+    sharded (throughput scaling — one whole MSM per chip, zero cross-device
+    EC traffic; the ms/MSM column should stay flat as chips grow)."""
     import jax
     import jax.numpy as jnp
 
@@ -32,40 +36,66 @@ def run(log2n: int = 18, runs: int = 3) -> Table:
     n = 1 << log2n
     pts_u64 = oracle.gen_points(n, seed=20230923)
     rng = np.random.default_rng(42)
-    sc_u64 = rng.integers(0, 1 << 62, size=(n, 4), dtype=np.uint64)
-    sc_u64[:, 3] &= (1 << 58) - 1
     coords = jax.device_put(jnp.asarray(pts_u64.view(np.uint32).reshape(n, 2, 8)))
-    scalars = jax.device_put(jnp.asarray(sc_u64.view(np.uint32).reshape(n, 8)))
     cfg = MsmConfig(chunk_size=16)
     on_tpu = jax.default_backend() == "tpu"
+
+    def gen_scalars(count):
+        sc = rng.integers(0, 1 << 62, size=(count, n, 4), dtype=np.uint64)
+        sc[:, :, 3] &= (1 << 58) - 1
+        return sc.view(np.uint32).reshape(count, n, 8)
 
     ndev = jax.device_count()
     sizes = [k for k in (1, 2, 4, 8, 16, 32) if k <= ndev]
     t1 = None
-    table = Table(["chips", "median (ms)", "speedup", "efficiency"])
+    if mode == "batch":
+        table = Table(["chips", "batch k", "median (ms)", "ms/MSM", "efficiency"])
+    else:
+        table = Table(["chips", "median (ms)", "speedup", "efficiency"])
+        scalars = jax.device_put(jnp.asarray(gen_scalars(1)[0]))
     for k in sizes:
         mesh = sharded.default_mesh(k)
-        if on_tpu:
-            fn = jax.jit(partial(
-                sharded.sharded_window_sums_pallas, mesh=mesh, cfg=cfg,
-                axis_name=mesh.axis_names[0],
-            ))
+        if mode == "batch":
+            # One MSM per chip: the batch equals the mesh size.
+            scalars_k = jax.device_put(jnp.asarray(gen_scalars(k)))
+            if on_tpu:
+                fn = jax.jit(partial(
+                    sharded.sharded_msm_batch_rows, mesh=mesh, cfg=cfg,
+                    axis_name=mesh.axis_names[0],
+                ))
+            else:
+                fn = jax.jit(partial(
+                    sharded.sharded_msm_batch_sums, mesh=mesh, cfg=cfg,
+                    axis_name=mesh.axis_names[0],
+                ))
+            args = (coords, scalars_k)
         else:
-            fn = jax.jit(partial(
-                sharded.sharded_window_sums, mesh=mesh, cfg=cfg,
-                axis_name=mesh.axis_names[0],
-            ))
-        out = fn(coords, scalars)
+            if on_tpu:
+                fn = jax.jit(partial(
+                    sharded.sharded_window_sums_pallas, mesh=mesh, cfg=cfg,
+                    axis_name=mesh.axis_names[0],
+                ))
+            else:
+                fn = jax.jit(partial(
+                    sharded.sharded_window_sums, mesh=mesh, cfg=cfg,
+                    axis_name=mesh.axis_names[0],
+                ))
+            args = (coords, scalars)
+        out = fn(*args)
         _ = jax.device_get(jax.tree_util.tree_leaves(out)[0][:1])
         ts = []
         for _i in range(runs):
             t0 = time.time()
-            out = fn(coords, scalars)
+            out = fn(*args)
             _ = jax.device_get(jax.tree_util.tree_leaves(out)[0][:1])
             ts.append((time.time() - t0) * 1e3)
         m = median(ts)
         if t1 is None:
             t1 = m
-        table.add(k, round(m, 1), round(t1 / m, 2), round(t1 / (k * m), 3))
+        if mode == "batch":
+            # Throughput efficiency: MSM-rate at k chips vs k * rate at 1.
+            table.add(k, k, round(m, 1), round(m / k, 1), round(t1 / m, 3))
+        else:
+            table.add(k, round(m, 1), round(t1 / m, 2), round(t1 / (k * m), 3))
         print(table.markdown().splitlines()[-1], flush=True)
     return table

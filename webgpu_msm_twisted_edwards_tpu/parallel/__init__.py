@@ -3,4 +3,4 @@
 reference (SURVEY.md §2.5)."""
 
 from . import distributed, sharded  # noqa: F401
-from .sharded import compute_msm_sharded  # noqa: F401
+from .sharded import compute_msm_batch_sharded, compute_msm_sharded  # noqa: F401

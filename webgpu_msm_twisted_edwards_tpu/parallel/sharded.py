@@ -175,6 +175,171 @@ def sharded_msm_plan(
     return cfg, pipeline
 
 
+def sharded_msm_batch_rows(
+    coords_u32: jnp.ndarray,
+    scalars_k: jnp.ndarray,
+    mesh: Mesh,
+    cfg: MsmConfig,
+    axis_name: str = "points",
+) -> jnp.ndarray:
+    """Batch-axis data parallelism (Pallas path): ONE point set replicated on
+    every device, the [k, n, 8] stack of scalar vectors sharded over the mesh.
+    Each device runs the full local pipeline + device Horner fold per scalar
+    vector; no cross-device EC folds at all — MSM i is computed whole on one
+    chip, so scaling is embarrassingly parallel (the serving-throughput
+    counterpart of :func:`sharded_window_sums_pallas`'s latency-oriented
+    point sharding).  Returns [k, TW] packed projective totals, sharded over
+    the batch axis."""
+    from ..ops import msm_pipeline as MP
+    from ..ops.pallas import scan as PS
+    from ..ops.pallas.bpr import horner_fold
+
+    n = coords_u32.shape[0]
+    assert n % PS.K == 0, (
+        f"n={n} must be a multiple of {PS.K} (compute_msm_batch_sharded pads)"
+    )
+    ndev = mesh.devices.size
+    assert scalars_k.shape[0] % ndev == 0, (
+        f"batch size {scalars_k.shape[0]} must be divisible by mesh size {ndev}"
+    )
+
+    def local_fn(c, s):
+        def one(sc):
+            rows = MP.msm_window_sums(c, sc, cfg)           # [W, TW]
+            return horner_fold(rows, cfg.chunk_size)        # [1, TW]
+
+        return jax.lax.map(one, s)[:, 0, :]                 # [kloc, TW]
+
+    return shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name)),
+        out_specs=P(axis_name),
+        check_vma=False,
+    )(coords_u32, scalars_k)
+
+
+def sharded_msm_batch_sums(
+    coords_u32: jnp.ndarray,
+    scalars_k: jnp.ndarray,
+    mesh: Mesh,
+    cfg: MsmConfig,
+    bpr_chunks: int = 256,
+    axis_name: str = "points",
+) -> jnp.ndarray:
+    """Batch-axis data parallelism, pure-XLA pipeline (any backend, incl. the
+    virtual CPU mesh): returns [k, W, 4, num_words] window-sum limb stacks,
+    sharded over the batch axis (host Horner finishes each MSM)."""
+
+    def local_fn(c, s):
+        def one(sc):
+            sums = cuzk.msm_window_sums_device(c, sc, cfg, bpr_chunks)
+            return jnp.stack([sums.x, sums.y, sums.t, sums.z], axis=1)
+
+        return jax.lax.map(one, s)                          # [kloc, W, 4, nw]
+
+    return shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name)),
+        out_specs=P(axis_name),
+        check_vma=False,
+    )(coords_u32, scalars_k)
+
+
+@lru_cache(maxsize=None)
+def _jitted_batch_rows(mesh: Mesh, chunk_size: int, axis_name: str):
+    cfg = MsmConfig(chunk_size=chunk_size)
+    return jax.jit(partial(sharded_msm_batch_rows, mesh=mesh, cfg=cfg,
+                           axis_name=axis_name))
+
+
+@lru_cache(maxsize=None)
+def _jitted_batch_sums(mesh: Mesh, chunk_size: int, bpr_chunks: int,
+                       axis_name: str):
+    cfg = MsmConfig(chunk_size=chunk_size)
+    return jax.jit(partial(sharded_msm_batch_sums, mesh=mesh, cfg=cfg,
+                           bpr_chunks=bpr_chunks, axis_name=axis_name))
+
+
+def compute_msm_batch_sharded(
+    points: Sequence[tuple[int, int]] | np.ndarray,
+    scalars_list: Sequence,
+    mesh: Mesh | None = None,
+    chunk_size: int | None = None,
+    bpr_chunks: int = 256,
+    pipeline: str | None = None,
+) -> list[dict[str, int]]:
+    """Multi-device analogue of `compute_msm_batch`: k MSMs over ONE point
+    set, the BATCH axis sharded over the mesh (points replicated on every
+    device).  Element i equals compute_msm(points, scalars_list[i]).
+
+    This is the throughput decomposition for proving workloads: with k >=
+    devices, scaling is linear with zero cross-device EC traffic (each MSM is
+    computed whole on one chip), whereas `compute_msm_sharded` splits ONE
+    MSM's points for latency.  Window sizing follows the full n (every
+    device sees all points).  The batch is padded to a multiple of the mesh
+    size with zero scalar vectors; padding results are dropped.
+
+    Same subgroup-point assumption as `compute_msm` (scalars >= the subgroup
+    order are reduced mod the order)."""
+    from ..utils import limbs as UL
+    from ..utils.params import tpu_msm_config
+
+    coords, _ = cuzk.prepare_inputs(points, [])
+    n = coords.shape[0]
+    if mesh is None:
+        mesh = default_mesh()
+    ndev = mesh.devices.size
+    axis = mesh.axis_names[0]
+    packed = [
+        sc if cuzk._is_packed_u32(sc) else UL.ints_to_u32_words(list(sc))
+        for sc in scalars_list
+    ]
+    scs = [cuzk.reduce_scalars_mod_order(np.asarray(sc)) for sc in packed]
+    k = len(scs)
+    assert k >= 1, "need at least one scalar vector"
+    backend = jax.default_backend()
+    if chunk_size is None:
+        cfg = (tpu_msm_config(n) if backend == "tpu" and n >= 4096
+               else default_msm_config(n))
+    else:
+        cfg = MsmConfig(chunk_size=chunk_size)
+    if pipeline is None:
+        pipeline = ("pallas"
+                    if backend == "tpu" and cfg.chunk_size >= 8 and n >= 512
+                    else "xla")
+    if pipeline == "pallas" and n % 4096 != 0:
+        target = max(4096, -(-n // 4096) * 4096)
+        coords = np.concatenate(
+            [coords, np.tile(np.asarray(coords)[:1], (target - n, 1, 1))], axis=0
+        )
+        scs = [np.concatenate([sc, np.zeros((target - n, 8), np.uint32)])
+               for sc in scs]
+        n = target
+    kpad = -(-k // ndev) * ndev
+    scs = scs + [np.zeros((n, 8), np.uint32)] * (kpad - k)
+    scalars_k = jnp.asarray(np.stack(scs))
+    from ..cpu.mirrors import horner
+
+    if pipeline == "pallas":
+        fn = _jitted_batch_rows(mesh, cfg.chunk_size, axis)
+        rows = np.asarray(fn(jnp.asarray(coords), scalars_k))      # [kpad, TW]
+        totals = [cuzk.packed_rows_to_extpoints(rows[i:i + 1])[0]
+                  for i in range(k)]
+    else:
+        fn = _jitted_batch_sums(mesh, cfg.chunk_size, bpr_chunks, axis)
+        sums = np.asarray(fn(jnp.asarray(coords), scalars_k))      # [kpad, W, 4, nw]
+        totals = []
+        for i in range(k):
+            pts = cuzk.window_sums_to_extpoints(
+                C.PointXYTZ(sums[i, :, 0], sums[i, :, 1],
+                            sums[i, :, 2], sums[i, :, 3])
+            )
+            totals.append(horner(pts, cfg.chunk_size))
+    return [dict(zip(("x", "y"), t.to_affine())) for t in totals]
+
+
 def compute_msm_sharded(
     points: Sequence[tuple[int, int]] | np.ndarray,
     scalars: Sequence[int] | np.ndarray,
