@@ -47,6 +47,33 @@ def test_per_stage_debug_validators():
 
 
 @requires_tpu
+def test_batch_sharded_pallas_on_tpu():
+    """compute_msm_batch_sharded's Pallas path (shard_map + lax.map over the
+    full compiled pipeline + device Horner) on the real-TPU mesh — on a
+    1-chip rig this is a mesh of 1, which still exercises the whole
+    batch-axis program end-to-end against the oracle."""
+    from webgpu_msm_twisted_edwards_tpu.parallel import sharded
+    from webgpu_msm_twisted_edwards_tpu.utils import oracle
+
+    if not oracle.available():
+        pytest.skip("liboracle.so not built")
+    n = 4096
+    pts_u64 = oracle.gen_points(n, seed=31)
+    rng = np.random.default_rng(32)
+    sc_u64 = rng.integers(0, 1 << 62, size=(2, n, 4), dtype=np.uint64)
+    sc_u64[:, :, 3] &= (1 << 58) - 1
+    coords = pts_u64.view(np.uint32).reshape(n, 2, 8)
+    scalar_sets = sc_u64.view(np.uint32).reshape(2, n, 8)
+    mesh = sharded.default_mesh(min(2, jax.device_count()))
+    got = sharded.compute_msm_batch_sharded(
+        coords, list(scalar_sets), mesh=mesh, chunk_size=13, pipeline="pallas"
+    )
+    for res, sc in zip(got, sc_u64):
+        want = oracle.msm(pts_u64, sc, c=16)
+        assert (res["x"], res["y"]) == want
+
+
+@requires_tpu
 def test_adversarial_inputs():
     """Extreme bucket skew (all-equal scalars), all-zero, and order-1 scalars.
     The segmented-scan SMVP does fixed work regardless of the bucket-size
