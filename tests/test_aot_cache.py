@@ -47,6 +47,76 @@ def test_aot_roundtrip_and_clear(tmp_path, monkeypatch):
     assert not [p for p in tmp_path.iterdir() if p.suffix == ".aotx"]
 
 
+def test_aot_poisoned_reload_falls_back(tmp_path, monkeypatch):
+    """A cache entry whose reloaded executable fails the known-answer
+    self-check must be dropped and recompiled (VERDICT r3 #8: the guard that
+    lets the cache default on despite runtimes that replay deserialized
+    executables unreliably)."""
+    import pickle
+
+    monkeypatch.setenv("MSM_AOT_CACHE", "force")
+    monkeypatch.setenv("MSM_AOT_CACHE_DIR", str(tmp_path))
+
+    import jax.numpy as jnp
+
+    from webgpu_msm_twisted_edwards_tpu.utils.aot_cache import aot_jit
+
+    @aot_jit(static_argnames=("s",))
+    def h(x, s):
+        return x * s
+
+    x = jnp.arange(8, dtype=jnp.float32)
+    np.asarray(h(x, s=2))
+    (blob,) = [p for p in tmp_path.iterdir() if p.suffix == ".aotx"]
+
+    # Poison the stored fingerprint: simulates a runtime that reloads the
+    # executable but computes garbage (the corner no longer matches).
+    fmt, ndev, payload, in_tree, out_tree, _fp = pickle.loads(blob.read_bytes())
+    blob.write_bytes(pickle.dumps(
+        (fmt, ndev, payload, in_tree, out_tree, "bogus")))
+
+    # A fresh wrapper (new process analogue) must REJECT the poisoned entry
+    # and fall back to tracing its own body — observable because the new body
+    # differs.
+    @aot_jit(static_argnames=("s",))
+    def h(x, s):  # noqa: F811
+        return x * s + 7
+
+    out = np.asarray(h(x, s=2))
+    assert (out == np.arange(8) * 2 + 7).all()
+    # The poisoned file was dropped and replaced by the fresh compile's entry.
+    blobs = [p for p in tmp_path.iterdir() if p.suffix == ".aotx"]
+    assert len(blobs) == 1
+
+
+def test_aot_old_format_dropped(tmp_path, monkeypatch):
+    """Entries from older on-disk formats are treated as corrupt (dropped,
+    recompiled) rather than mis-unpickled."""
+    monkeypatch.setenv("MSM_AOT_CACHE", "force")
+    monkeypatch.setenv("MSM_AOT_CACHE_DIR", str(tmp_path))
+    import pickle
+
+    import jax.numpy as jnp
+
+    from webgpu_msm_twisted_edwards_tpu.utils.aot_cache import aot_jit
+
+    @aot_jit(static_argnames=("s",))
+    def q(x, s):
+        return x - s
+
+    x = jnp.arange(4, dtype=jnp.float32)
+    np.asarray(q(x, s=1))
+    (blob,) = [p for p in tmp_path.iterdir() if p.suffix == ".aotx"]
+    data = pickle.loads(blob.read_bytes())
+    blob.write_bytes(pickle.dumps(data[1:]))  # the pre-fingerprint 4-tuple
+
+    @aot_jit(static_argnames=("s",))
+    def q(x, s):  # noqa: F811
+        return x - s - 1
+
+    assert np.asarray(q(x, s=1)).tolist() == [-2.0, -1.0, 0.0, 1.0]
+
+
 def test_aot_disabled_falls_back(tmp_path, monkeypatch):
     monkeypatch.setenv("MSM_AOT_CACHE", "0")
     monkeypatch.setenv("MSM_AOT_CACHE_DIR", str(tmp_path))

@@ -85,12 +85,53 @@ def enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
+#: On-disk pickle format version; reloads of other versions are dropped.
+_FORMAT = 2
+
+
+def _zeros_like_args(args):
+    """Deterministic known-answer inputs matching the dynamic args' avals."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(
+        lambda a: jnp.zeros(getattr(a, "shape", ()), getattr(a, "dtype", None)),
+        args,
+    )
+
+
+def _fingerprint_outputs(out) -> str:
+    """Cheap output fingerprint: shapes, dtypes, and a <=4-element corner of
+    every leaf (a full fetch would crawl through the tunnel; the corner is
+    enough to catch the observed bad-reload modes — dispatch errors surface
+    as exceptions before this, garbage output changes the corner)."""
+    import jax
+
+    h = hashlib.sha256()
+    for leaf in jax.tree_util.tree_leaves(out):
+        import numpy as np
+
+        corner = leaf[tuple(slice(0, min(2, d)) for d in leaf.shape)]
+        a = np.asarray(jax.device_get(corner))
+        h.update(str(leaf.shape).encode())
+        h.update(str(leaf.dtype).encode())
+        h.update(a.tobytes())
+    return h.hexdigest()
+
+
 class _AotJit:
     """jax.jit wrapper with a persistent compiled-executable cache.
 
     Call convention: dynamic arguments positionally, static arguments as
     KEYWORDS (enforced) — the serialized executable is invoked with exactly
-    the positional dynamic args."""
+    the positional dynamic args.
+
+    Every stored entry carries a known-answer fingerprint (the executable run
+    on all-zero inputs at store time); `_load` re-runs the reloaded
+    executable on the same zeros and falls back to a fresh compile on any
+    exception or fingerprint mismatch — the guard VERDICT r3 #8 asked for
+    before the cache could default on (this rig's tunneled runtime has
+    executed reloaded executables incorrectly; docs/MEASUREMENTS.md)."""
 
     def __init__(self, fn, static_argnames=()):
         import jax
@@ -121,48 +162,60 @@ class _AotJit:
         key = self._key(args, kwargs)
         compiled = self._mem.get(key)
         if compiled is None:
-            compiled = self._load(key)
+            compiled = self._load(key, args)
         if compiled is None:
             compiled = self._jit.lower(*args, **kwargs).compile()
-            self._store(key, compiled)
+            self._store(key, compiled, args)
         self._mem[key] = compiled
         return compiled(*args)
 
-    def _load(self, key: str):
+    def _load(self, key: str, args):
         import jax
         from jax.experimental.serialize_executable import deserialize_and_load
 
         path = self._path(key)
         try:
             with open(path, "rb") as fh:
-                ndev, payload, in_tree, out_tree = pickle.load(fh)
+                fmt, ndev, payload, in_tree, out_tree, want_fp = pickle.load(fh)
+            if fmt != _FORMAT:
+                raise ValueError(f"cache format {fmt} != {_FORMAT}")
             # deserialize defaults to ALL local devices; restore onto the
             # same number the executable was compiled for (1 for jit
             # programs) or an 8-virtual-device CPU mesh rejects the args.
-            return deserialize_and_load(
+            compiled = deserialize_and_load(
                 payload, in_tree, out_tree,
                 execution_devices=jax.devices()[:ndev],
             )
+            # Known-answer self-check: the reloaded executable must reproduce
+            # the fingerprint recorded at store time on all-zero inputs.  A
+            # dispatch error or a wrong corner means the runtime replayed the
+            # blob badly — drop it and recompile.
+            got_fp = _fingerprint_outputs(compiled(*_zeros_like_args(args)))
+            if got_fp != want_fp:
+                raise ValueError("known-answer fingerprint mismatch")
+            return compiled
         except FileNotFoundError:
             return None
         except Exception:
-            # Corrupt blob or runtime-version mismatch: drop it and recompile.
+            # Corrupt blob, runtime-version mismatch, or failed self-check:
+            # drop it and recompile.
             try:
                 os.unlink(path)
             except OSError:
                 pass
             return None
 
-    def _store(self, key: str, compiled) -> None:
+    def _store(self, key: str, compiled, args) -> None:
         from jax.experimental.serialize_executable import serialize
 
         try:
+            fp = _fingerprint_outputs(compiled(*_zeros_like_args(args)))
             ndev = len(compiled._executable.xla_executable.local_devices())
             payload, in_tree, out_tree = serialize(compiled)
             os.makedirs(cache_dir(), exist_ok=True)
             tmp = self._path(key) + ".tmp"
             with open(tmp, "wb") as fh:
-                pickle.dump((ndev, payload, in_tree, out_tree), fh)
+                pickle.dump((_FORMAT, ndev, payload, in_tree, out_tree, fp), fh)
             os.replace(tmp, self._path(key))
         except Exception:
             pass  # cache is best-effort; the compiled executable still runs
