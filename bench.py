@@ -88,7 +88,6 @@ def main():
     # the MSM itself (reference protocol: full_benchmarks.ts:43-127; the
     # host->device write here crosses a network tunnel, unlike the
     # reference's local PCIe, so it is staged outside the timed region).
-    from functools import partial
 
     dcoords = jax.device_put(jnp.asarray(coords))
     dscalars = jax.device_put(jnp.asarray(scalars))

@@ -17,7 +17,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 import sys, os
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))

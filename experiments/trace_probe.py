@@ -24,7 +24,6 @@ def capture(power: int, log_dir: str) -> None:
     import numpy as np
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from webgpu_msm_twisted_edwards_tpu.models import cuzk
     from webgpu_msm_twisted_edwards_tpu.ops import msm_pipeline as MP
     from webgpu_msm_twisted_edwards_tpu.utils import oracle
     from webgpu_msm_twisted_edwards_tpu.utils.params import tpu_msm_config

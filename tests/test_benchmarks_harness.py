@@ -1,7 +1,6 @@
 """Unit tests for the benchmark harness plumbing (Table output, input
 staging) — the measurable parts that don't need a TPU."""
 
-import numpy as np
 
 from webgpu_msm_twisted_edwards_tpu.benchmarks.timing import Table, median
 

@@ -5,7 +5,7 @@ reference's point-add GPU benchmarks' CPU assertions
 import numpy as np
 import jax.numpy as jnp
 
-from webgpu_msm_twisted_edwards_tpu.cpu.curve import GENERATOR, ExtPoint
+from webgpu_msm_twisted_edwards_tpu.cpu.curve import ExtPoint
 from webgpu_msm_twisted_edwards_tpu.ops import curve as C
 from webgpu_msm_twisted_edwards_tpu.utils import limbs as L
 from webgpu_msm_twisted_edwards_tpu.utils.params import PARAMS

@@ -7,7 +7,6 @@ import random
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from webgpu_msm_twisted_edwards_tpu.ops import field as F
 from webgpu_msm_twisted_edwards_tpu.utils import limbs as L

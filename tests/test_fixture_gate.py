@@ -9,7 +9,6 @@ generated fixture + oracle sidecar expected result."""
 
 import os
 
-import numpy as np
 import pytest
 
 from webgpu_msm_twisted_edwards_tpu.benchmarks import full

@@ -51,7 +51,6 @@ def test_oracle_msm_larger():
 def test_gen_points_on_curve_and_deterministic():
     """Fixture generation integrity: points are on the curve, in the
     prime-order subgroup, and deterministic per seed."""
-    import numpy as np
     import pytest
 
     from webgpu_msm_twisted_edwards_tpu.utils import oracle

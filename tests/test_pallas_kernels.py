@@ -3,7 +3,6 @@ CPU against the python/jnp mirrors (the reference's debug-readback pattern,
 reference: src/submission/submission.ts:892-1363)."""
 
 import numpy as np
-import pytest
 
 from conftest import random_points_scalars
 from webgpu_msm_twisted_edwards_tpu.cpu.curve import ExtPoint
@@ -48,7 +47,6 @@ def test_seg_carry_scan_interpret():
     import jax.numpy as jnp
 
     from webgpu_msm_twisted_edwards_tpu.ops.pallas.scan import seg_carry_scan
-    from webgpu_msm_twisted_edwards_tpu.ops.msm_pipeline import identity_row_np
 
     pts, _ = random_points_scalars(8, seed=6)
     rng = np.random.default_rng(0)

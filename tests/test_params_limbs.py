@@ -8,7 +8,6 @@ limb codec round-trips.
 
 import random
 
-import numpy as np
 
 from webgpu_msm_twisted_edwards_tpu.utils import limbs as L
 from webgpu_msm_twisted_edwards_tpu.utils.params import (

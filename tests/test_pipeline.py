@@ -10,7 +10,6 @@ import pytest
 from webgpu_msm_twisted_edwards_tpu.cpu.curve import naive_msm
 from webgpu_msm_twisted_edwards_tpu.cpu.mirrors import (
     bucket_accumulation_signed,
-    cuzk_serial_msm,
     decompose_scalars_signed as cpu_decompose,
     running_sum_bucket_reduction,
 )

@@ -3,7 +3,6 @@ Barrett-Domb, matrix classes + serial cuZK, baselines registry, and the
 fixture loader round-trip (reference test strategy analogues:
 miscellaneous/tests/{utils,barrett_domb,matrices,cuzk}.test.ts)."""
 
-import os
 import random
 
 import numpy as np
@@ -21,7 +20,6 @@ from webgpu_msm_twisted_edwards_tpu.cpu.matrices import (
 from webgpu_msm_twisted_edwards_tpu.utils.params import (
     PARAMS,
     MsmConfig,
-    compute_field_params,
 )
 
 

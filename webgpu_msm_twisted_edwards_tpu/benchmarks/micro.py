@@ -426,7 +426,6 @@ def smtvp(n: int = 1 << 12, runs: int = 3) -> Table:
     import jax
     import jax.numpy as jnp
 
-    from ..models import cuzk
     from ..ops import convert as CVo
     from ..ops import curve as C
     from ..ops import field as F
@@ -485,9 +484,8 @@ def horners_rule(runs: int = 3) -> Table:
     import jax
     import jax.numpy as jnp
 
-    from ..cpu.curve import GENERATOR, ExtPoint
+    from ..cpu.curve import GENERATOR
     from ..cpu.mirrors import horner as host_horner
-    from ..models import cuzk
     from ..ops import convert as CVx
     from ..ops import curve as C
     from ..ops import field as F

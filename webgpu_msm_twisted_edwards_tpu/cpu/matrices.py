@@ -15,8 +15,8 @@ substitute string concatenation for the group op
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Callable, Sequence
+from dataclasses import dataclass
+from typing import Any, Sequence
 
 from ..utils.params import MsmConfig
 from .curve import ExtPoint

@@ -23,7 +23,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..utils.params import PARAMS, FieldParams
 from .barrett import U32, _const_limbs, _shift_right_bits, mul_wide

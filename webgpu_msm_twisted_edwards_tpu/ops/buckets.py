@@ -29,7 +29,6 @@ from jax import lax
 
 from ..utils.params import PARAMS, FieldParams, MsmConfig
 from . import curve as C
-from . import field as F
 
 
 class SortedBuckets(NamedTuple):

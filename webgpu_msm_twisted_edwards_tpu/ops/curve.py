@@ -10,7 +10,6 @@ add-2008-hwcd and dbl-2008-hwcd with a = -1 folded in).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
 from functools import partial
 
 import jax

@@ -18,7 +18,6 @@ import numpy as np
 from ..cpu.curve import ExtPoint
 from ..cpu.mirrors import bucket_accumulation_signed, decompose_scalars_signed
 from ..utils.params import PARAMS, MsmConfig
-from .pallas.common import LP
 from .msm_pipeline import TW
 
 
@@ -33,7 +32,6 @@ def validate_pipeline(points, scalars, chunk_size: int = 16,
     """Run every device stage and check it against the CPU mirror.  Points are
     (x, y) int pairs; n must satisfy the pipeline's divisibility rules
     (>= 512, multiple of 512).  Returns per-stage status."""
-    import jax
     import jax.numpy as jnp
 
     from ..models import cuzk

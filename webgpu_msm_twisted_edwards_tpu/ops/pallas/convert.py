@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .common import L, LP, MASK, W, load_consts, make_consts_array, mont_many, mont_mul
+from .common import L, MASK, W, load_consts, make_consts_array, mont_many, mont_mul
 from .scan import TWR as TW, _interpret_default
 
 #: Points per kernel block.

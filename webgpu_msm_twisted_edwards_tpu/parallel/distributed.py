@@ -29,7 +29,6 @@ jax.distributed job in CI (tests/test_distributed.py).
 
 from __future__ import annotations
 
-from functools import partial
 
 import numpy as np
 
@@ -96,7 +95,6 @@ def compute_msm_multihost(
     programs and finishes with the device Horner fold, so every process
     reads back ONE projective point."""
     import jax
-    import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..cpu.mirrors import horner
@@ -160,7 +158,6 @@ def compute_msm_batch_multihost(
     (per-MSM device Horner, zero cross-device EC traffic).  Returns this
     process's results, element i matching local_scalars_list[i]."""
     import jax
-    import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..cpu.mirrors import horner
