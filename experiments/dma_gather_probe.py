@@ -240,6 +240,9 @@ def main():
     ap.add_argument("--table-log2", type=int, default=21,
                     help="table rows (doubled table at 2^20 is 2^21)")
     ap.add_argument("--unroll", type=int, default=8)
+    ap.add_argument("--unrolls", type=int, nargs="*", default=[8])
+    ap.add_argument("--skip-fused", action="store_true")
+    ap.add_argument("--skip-xla", action="store_true")
     ap.add_argument("--check", action="store_true",
                     help="bit-exact check of dma-scan vs msm_scan_rm_sames "
                          "at small scale first")
@@ -267,25 +270,39 @@ def main():
     gidx = jax.device_put(jnp.asarray(pidx))
 
     xla_gather = jax.jit(lambda tb, ix: tb[ix])
-    m = timed(xla_gather, table, gidx)
+    if args.skip_xla:
+        m = float("nan")
+    else:
+        m = timed(xla_gather, table, gidx)
     print(f"XLA gather [{nrows>>20} M rows x {TWR*4} B]:    {m:7.1f} ms "
           f"({nrows / m / 1e3:.0f} M rows/s)")
 
+    # Everything timed must be jitted: eagerly-dispatched jnp ops each pay
+    # the tunnel's per-dispatch round trip (hundreds of ms), swamping the
+    # kernel time (first probe run measured the scan at 450 ns/entry eager
+    # vs ~10 ns jitted).
     rows = xla_gather(table, gidx).reshape(nf, K, TWR)
-    m_scan = timed(msm_scan_rm_sames, rows, sames_t)
+    scan_j = jax.jit(lambda r, s: msm_scan_rm_sames(r, s))
+    if args.skip_xla:
+        m_scan = float("nan")
+    else:
+        m_scan = timed(scan_j, rows, sames_t)
     print(f"rm+sames scan (pre-gathered rows):  {m_scan:7.1f} ms "
           f"({m_scan * 1e6 / nrows:.1f} ns/entry)")
     print(f"  -> production sum (gather + scan): {m + m_scan:7.1f} ms")
     del rows
 
-    for unroll in (args.unroll,):
-        m = timed(dma_gather, table, pidx_t, unroll)
+    for unroll in args.unrolls:
+        dg_j = jax.jit(lambda tb, px, u=unroll: dma_gather(tb, px, u))
+        m = timed(dg_j, table, pidx_t)
         print(f"dma-gather only (unroll={unroll}):       {m:7.1f} ms "
               f"({nrows / m / 1e3:.0f} M rows/s, {m * 1e6 / nrows:.1f} ns/row)")
 
-    m = timed(msm_scan_dma, table, pidx_t, sames_t, args.unroll)
-    print(f"dma-scan fused (unroll={args.unroll}):        {m:7.1f} ms "
-          f"({m * 1e6 / nrows:.1f} ns/entry)")
+    if not args.skip_fused:
+        ds_j = jax.jit(lambda tb, px, sm: msm_scan_dma(tb, px, sm, args.unroll))
+        m = timed(ds_j, table, pidx_t, sames_t)
+        print(f"dma-scan fused (unroll={args.unroll}):        {m:7.1f} ms "
+              f"({m * 1e6 / nrows:.1f} ns/entry)")
 
 
 def _check(rng):

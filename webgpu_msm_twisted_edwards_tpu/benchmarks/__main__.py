@@ -26,6 +26,10 @@ def main(argv=None):
     p_batch = sub.add_parser("batch", help="batch MSM (one point set, k scalar vectors) vs one-shot")
     p_batch.add_argument("--power", type=int, default=18)
     p_batch.add_argument("--k", type=int, default=4)
+    p_batch.add_argument("--precompute", action="store_true",
+                         help="also run the fixed-SRS precomputed mode (merged single-window table)")
+    p_batch.add_argument("--pre-chunk", type=int, default=None,
+                         help="merged window size c for --precompute (default: fixed_base_config)")
     p_batch.add_argument("--resident", action="store_true",
                          help="pre-stage inputs on device (measure engine, not the host link)")
 
@@ -56,7 +60,8 @@ def main(argv=None):
     if args.cmd == "full":
         table = full.run(powers=tuple(args.powers), runs=args.runs, csv_path=args.csv)
     elif args.cmd == "batch":
-        table = full.run_batch(power=args.power, k=args.k, resident=args.resident)
+        table = full.run_batch(power=args.power, k=args.k, resident=args.resident,
+                               precompute=args.precompute, pre_chunk=args.pre_chunk)
     elif args.cmd == "sweep":
         table = full.sweep(powers=tuple(args.powers), chunks=tuple(args.chunks),
                            runs=args.runs)

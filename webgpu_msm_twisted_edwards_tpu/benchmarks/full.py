@@ -153,7 +153,8 @@ def sweep(powers=(18, 19, 20), chunks=(13, 14, 15, 16), runs: int = 3,
 
 
 def run_batch(power: int = 18, k: int = 4, check: bool = True,
-              base_dir: str | None = None, resident: bool = False) -> Table:
+              base_dir: str | None = None, resident: bool = False,
+              precompute: bool = False, pre_chunk: int | None = None) -> Table:
     """Batch-MSM benchmark: ONE point set, `k` scalar vectors — the
     fixed-SRS proving pattern compute_msm_batch exists for.
 
@@ -205,9 +206,26 @@ def run_batch(power: int = 18, k: int = 4, check: bool = True,
     res_one = [cuzk.compute_msm(coords, s) for s in scs]
     oneshot_ms = (time.time() - t0) * 1e3 / k
 
+    pre_ms = setup_s = None
+    res_pre = None
+    if precompute:
+        # Fixed-SRS mode: one-time window-shifted table (ops/precompute.py),
+        # then merged single-window MSMs.  Setup time includes its compiles
+        # (one-time per SRS); the per-MSM number is steady-state like the
+        # other two columns.
+        t0 = time.time()
+        pre = cuzk.precompute_msm_base(coords, chunk_size=pre_chunk)
+        res_pre = cuzk.compute_msm_batch_precomputed(pre, scs)   # warm-up
+        setup_s = time.time() - t0
+        t0 = time.time()
+        res_pre = cuzk.compute_msm_batch_precomputed(pre, scs)
+        pre_ms = (time.time() - t0) * 1e3 / k
+
     ok = "-"
     if check:
         same = all(a == b for a, b in zip(res_batch, res_one))
+        if res_pre is not None:
+            same = same and all(a == b for a, b in zip(res_batch, res_pre))
         ok = "yes" if same else "NO"
         if same and oracle.available():
             # Spot-check one vector against the independent native oracle
@@ -217,8 +235,13 @@ def run_batch(power: int = 18, k: int = 4, check: bool = True,
             want = oracle.msm(pts_u64, sc_u64)
             ok = "yes" if (res_batch[1]["x"], res_batch[1]["y"]) == want else "NO"
 
-    table = Table(["n", "k", "inputs", "batch (ms/MSM)", "one-shot (ms/MSM)",
-                   "speedup", "correct"])
-    table.add(f"2^{power}", k, src, round(batch_ms, 1), round(oneshot_ms, 1),
-              f"{oneshot_ms / batch_ms:.2f}x", ok)
+    cols = ["n", "k", "inputs", "batch (ms/MSM)", "one-shot (ms/MSM)",
+            "speedup", "correct"]
+    row = [f"2^{power}", k, src, round(batch_ms, 1), round(oneshot_ms, 1),
+           f"{oneshot_ms / batch_ms:.2f}x", ok]
+    if precompute:
+        cols[6:6] = ["precomp (ms/MSM)", "setup (s)"]
+        row[6:6] = [round(pre_ms, 1), round(setup_s, 1)]
+    table = Table(cols)
+    table.add(*row)
     return table

@@ -214,6 +214,7 @@ def packed_rows_to_extpoints(rows: np.ndarray) -> list[ExtPoint]:
 def _clear_pallas_pipeline_caches():
     """Drop the staged pipeline's compiled programs (force_recompile)."""
     from ..ops import msm_pipeline as MP
+    from ..ops import precompute as PRE
 
     for fn in (MP._stage_table_digits, MP._stage_group, MP._stage_bpr,
                MP._stage_bpr_total, MP._stage_table, MP._stage_digits_only,
@@ -221,6 +222,7 @@ def _clear_pallas_pipeline_caches():
                MP._stage_combine, MP._stage_fold):
         fn.clear_cache()
     MP._WARMED.clear()
+    PRE.clear_caches()
 
 
 def compute_msm(
@@ -377,3 +379,73 @@ def compute_msm_batch(
         x, y = total.to_affine()
         results.append({"x": x, "y": y})
     return results
+
+
+def precompute_msm_base(
+    points: Sequence[tuple[int, int]] | np.ndarray,
+    chunk_size: int | None = None,
+    interpret: bool | None = None,
+):
+    """One-time fixed-base (SRS) precompute for `compute_msm_precomputed`:
+    builds the device-resident merged window-shifted table
+    Q[j*n+i] = 2^(c*j) * P_i (ops/precompute.py).  Returns an opaque
+    PrecomputedBase to pass to every subsequent MSM over these points.
+
+    Beyond-parity capability: the reference re-reads the full point set every
+    MSM (reference: submission.ts:73-78); here the per-MSM work drops to the
+    scalar-dependent stages only, and the merged single-window layout pays
+    the bucket machinery once per MSM instead of once per window."""
+    from ..ops import precompute as PRE
+
+    coords, _ = prepare_inputs(points, [])
+    n = coords.shape[0]
+    target = max(4096, -(-n // 4096) * 4096)
+    if target != n:
+        coords = _pad_points(coords, target - n)
+    cfg = (PRE.fixed_base_config(target) if chunk_size is None
+           else MsmConfig(chunk_size=chunk_size, scalar_bits=253))
+    return PRE.precompute_fixed_base(jnp.asarray(coords), cfg,
+                                     interpret=interpret)
+
+
+def compute_msm_precomputed(
+    pre,
+    scalars: Sequence[int] | np.ndarray,
+    interpret: bool | None = None,
+) -> dict[str, int]:
+    """MSM against a precomputed fixed base (see `precompute_msm_base`).
+    Result equals compute_msm(points, scalars) bit-for-bit."""
+    rows = np.asarray(_fixed_base_rows(pre, scalars, interpret=interpret))
+    total = packed_rows_to_extpoints(rows)[0]
+    x, y = total.to_affine()
+    return {"x": x, "y": y}
+
+
+def compute_msm_batch_precomputed(
+    pre,
+    scalars_list: Sequence,
+    interpret: bool | None = None,
+) -> list[dict[str, int]]:
+    """Batched MSMs against a precomputed fixed base: all device work is
+    issued before any result is fetched (the production-proving pattern)."""
+    rows_list = [_fixed_base_rows(pre, sc, interpret=interpret)
+                 for sc in scalars_list]
+    results = []
+    for rows in rows_list:
+        total = packed_rows_to_extpoints(np.asarray(rows))[0]
+        x, y = total.to_affine()
+        results.append({"x": x, "y": y})
+    return results
+
+
+def _fixed_base_rows(pre, scalars, interpret: bool | None = None):
+    """Shared scalar prep + dispatch for the precomputed path: pack, reduce
+    mod the subgroup order, pad to the precompute's point count."""
+    from ..ops import precompute as PRE
+
+    sc = scalars if _is_packed_u32(scalars) else L.ints_to_u32_words(list(scalars))
+    sc = reduce_scalars_mod_order(sc)
+    if sc.shape[0] != pre.n:
+        assert sc.shape[0] <= pre.n, (sc.shape, pre.n)
+        sc = _pad_zero_scalars(sc, pre.n - sc.shape[0])
+    return PRE.fixed_base_total_rows(pre, jnp.asarray(sc), interpret=interpret)

@@ -198,6 +198,54 @@ def mont_sqr(x: jnp.ndarray, params: FieldParams = PARAMS) -> jnp.ndarray:
     return mont_mul(x, x, params)
 
 
+@partial(jax.jit, static_argnames=("params",))
+def mont_inv(x: jnp.ndarray, params: FieldParams = PARAMS) -> jnp.ndarray:
+    """Montgomery-domain modular inverse via Fermat: x^(p-2), MSB-first
+    square-and-multiply with the (compile-time constant) exponent bits driven
+    by a fori_loop, so the graph stays small.  Domain-preserving: given
+    rep(a) = a*R returns rep(a^-1).  mont_inv(0) == 0 (0^(p-2) = 0).
+
+    The reference's only inverse is the CPU-side binary extended-Euclid in
+    its baseline WGSL field lib (reference:
+    src/reference/webgpu/wgsl/FieldModulus.ts:119-164); the production path
+    never inverts on-device.  The TPU framework needs one for the fixed-base
+    precompute's batch affine normalization (ops/precompute.py)."""
+    e = params.p - 2
+    nbits = e.bit_length()
+    bits = jnp.asarray([(e >> (nbits - 1 - i)) & 1 for i in range(nbits)],
+                       dtype=jnp.uint32)
+    acc0 = jnp.broadcast_to(r_limbs(params), x.shape)
+
+    def body(i, acc):
+        acc = mont_mul(acc, acc, params)
+        taken = mont_mul(acc, x, params)
+        return select(bits[i] == 1, taken, acc)
+
+    return jax.lax.fori_loop(0, nbits, body, acc0)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def mont_inv_batch(z: jnp.ndarray, params: FieldParams = PARAMS) -> jnp.ndarray:
+    """Batched Montgomery-domain inverse of [..., N, num_words] along axis -2
+    via the Montgomery batch-inversion trick: log-depth prefix and suffix
+    products (associative scans), ONE Fermat inverse of the total, then two
+    products per element — ~6N multiplies total instead of N full Fermat
+    chains (~500N).  Zero elements invert to zero without poisoning the
+    batch (they are masked out of the products)."""
+    zero_mask = is_zero(z)
+    one = jnp.broadcast_to(r_limbs(params), z.shape)
+    zs = select(zero_mask, one, z)
+    mul = partial(mont_mul, params=params)
+    ax = zs.ndim - 2                   # reverse=True rejects negative axes
+    prefix = jax.lax.associative_scan(mul, zs, axis=ax)
+    suffix = jax.lax.associative_scan(mul, zs, axis=ax, reverse=True)
+    total_inv = mont_inv(prefix[..., -1:, :], params)
+    left = jnp.concatenate([one[..., :1, :], prefix[..., :-1, :]], axis=-2)
+    right = jnp.concatenate([suffix[..., 1:, :], one[..., :1, :]], axis=-2)
+    inv = mul(mul(jnp.broadcast_to(total_inv, z.shape), left), right)
+    return select(zero_mask, jnp.zeros_like(z), inv)
+
+
 def is_zero(a: jnp.ndarray) -> jnp.ndarray:
     return jnp.all(a == 0, axis=-1)
 

@@ -40,6 +40,7 @@ from ..utils.params import PARAMS, MsmConfig
 from . import convert as CV
 from .pallas import bpr as PB
 from .pallas import convert as PC
+from .pallas import gather as GA
 from .pallas import hist as HG
 from .pallas import scan as PS
 from .pallas.common import LP, int_to_limbs
@@ -73,6 +74,12 @@ _SINGLE_TABLE = os.environ.get("MSM_SINGLE_TABLE", "0") == "1"
 #: costs ~8-10 ms/group while the transpose-free kernel only saves ~4-5
 #: (round-3 stages bench), so rm wins net.
 _SCAN_LAYOUT = os.environ.get("MSM_SCAN_LAYOUT", "rm")
+
+#: A/B switch for the DMA-engine row gather (ops/pallas/gather.py) on the
+#: row-major production path; measured 106 vs 77 M rows/s against the XLA
+#: gather at 2^23 rows on v5e (experiments/dma_gather_probe.py).  Set
+#: MSM_DMA_GATHER=0 to fall back to the XLA gather.
+_DMA_GATHER = os.environ.get("MSM_DMA_GATHER", "1") == "1"
 K = PS.K
 
 
@@ -124,18 +131,33 @@ def window_group_bucket_sums(
     nb: int,
     interpret: bool | None = None,
     fused: bool = False,
+    table_base=None,
 ) -> jnp.ndarray:
     """digits_g: [Wg, n] signed window digits for one group of windows;
     table: [2n, TWR] doubled rows (negated points in the upper half).
     Returns packed bucket sums [Wg * nb, TW] (bucket key b holds the sum of
-    points with |digit| == b+1, sign applied)."""
+    points with |digit| == b+1, sign applied).
+
+    table_base (traced int32 scalar) selects fixed-base block mode: the table
+    is a single-table (in-kernel sign) array larger than the digit block, and
+    entry i reads row table_base + i — used by the precomputed-SRS path
+    (ops/precompute.py) to stream entry blocks of the merged window-major
+    table without slicing it."""
     wg, n = digits_g.shape
-    single = table.shape[0] == n           # single-table (in-kernel sign) mode
-    assert table.shape[0] == (n if single else 2 * n), (table.shape, n)
+    if table_base is not None:
+        single = True                      # merged fixed-base table block
+        # The block may extend past the table (entries are padded to the
+        # block grid with zero digits); padded rows clip in the gather and
+        # their sentinel buckets are never extracted.
+    else:
+        single = table.shape[0] == n       # single-table (in-kernel sign) mode
+        assert table.shape[0] == (n if single else 2 * n), (table.shape, n)
     d = digits_g
     sign_neg = d < 0
     keys = jnp.where(d == 0, jnp.int32(nb), jnp.abs(d) - 1)          # [Wg, n]
     idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], keys.shape)
+    if table_base is not None:
+        idx = idx + table_base
     # Doubled table: the sign selects the pre-negated half (row idx + n).
     # Single table: the sign rides payload bit 30 and is applied in-kernel.
     # Fusing key|sign|idx into ONE sortable word was measured and REJECTED:
@@ -194,13 +216,26 @@ def window_group_bucket_sums(
         assert not single, "fused experiment path needs the doubled table"
         pidx_t = flat_pidx.reshape(nf, K).T                          # [K, NF]
         t_scan = PS.msm_scan_fused(table, pidx_t, keys_t, interpret=interpret)
-    elif _SCAN_LAYOUT == "rm" and not single:
+    elif _SCAN_LAYOUT == "rm":
         # Row-major layout: feed the gather's natural output straight into
         # the kernel (per-step transposes ride the in-kernel permute unit);
         # skips the gather-side transpose pass entirely.
-        rows = table[flat_pidx].reshape(nf, K, PS.TWR)
-        t_scan = PS.msm_scan_rm_sames(rows, PS.keys_to_sames(keys_t),
-                                      interpret=interpret)
+        if _DMA_GATHER:
+            # DMA-engine gather: ~30% faster than the XLA gather on v5e
+            # (ops/pallas/gather.py; 106 vs 77 M rows/s measured).
+            pidx_t = flat_pidx.reshape(nf, K).T
+            rows = GA.dma_row_gather(table, pidx_t, interpret=interpret)
+            rows = rows.reshape(nf, K, PS.TWR)
+        else:
+            rows = table[flat_pidx].reshape(nf, K, PS.TWR)
+        if single:
+            # Single-table: digit sign rides bit 1 of the hoisted mask word,
+            # negation happens in-kernel (msm_scan_rm_signed).
+            bits_t = PS.keys_to_sames(keys_t) | (flat_neg.reshape(nf, K).T << 1)
+            t_scan = PS.msm_scan_rm_signed(rows, bits_t, interpret=interpret)
+        else:
+            t_scan = PS.msm_scan_rm_sames(rows, PS.keys_to_sames(keys_t),
+                                          interpret=interpret)
     else:
         # Gather into the scan kernel's limb-major layout: the transpose
         # fuses into the gather's output (~+0.6 ns/entry,

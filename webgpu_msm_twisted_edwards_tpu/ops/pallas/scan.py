@@ -326,6 +326,26 @@ def msm_scan_rm_sames(rows: jnp.ndarray, sames_t: jnp.ndarray,
     return _scan_pallas_call(_msm_scan_rm_sames_kernel, rows, sames_t, interpret)
 
 
+def _msm_scan_rm_signed_kernel(lblk, consts_ref, rows_ref, bits_ref, out_ref):
+    """Row-major input + hoisted (same | sign << 1) mask word: the
+    single-table analogue of the rm+sames kernel — rows come straight from
+    the gather of the non-negated table and negation happens in-kernel.
+    Used by the fixed-base merged path (ops/precompute.py), whose W'-times
+    table makes the halved (single-table) HBM footprint mandatory."""
+    _msm_scan_body(lblk, consts_ref, lambda j: rows_ref[:, j, 0:3 * L], None,
+                   out_ref, read_same=lambda j: bits_ref[pl.ds(j, 1), :],
+                   signed_bit=True)
+
+
+def msm_scan_rm_signed(rows: jnp.ndarray, bits_t: jnp.ndarray,
+                       interpret: bool | None = None) -> jnp.ndarray:
+    """rows: [NF, K, TWR] row-major rows gathered from the SINGLE
+    (non-negated) table; bits_t: [K, NF] int32 with bit 0 = same-as-previous
+    and bit 1 = digit sign.  Returns T [NF, K//2, 2*TW] — identical to
+    :func:`msm_scan_rm_sames` fed the doubled pre-negated table."""
+    return _scan_pallas_call(_msm_scan_rm_signed_kernel, rows, bits_t, interpret)
+
+
 def msm_scan(rows: jnp.ndarray, keys_t: jnp.ndarray,
              interpret: bool | None = None) -> jnp.ndarray:
     """rows: [NF, K, TWR] (pre-negated); keys_t: [K, NF].  Returns T

@@ -171,10 +171,16 @@ class MsmConfig:
     """
 
     chunk_size: int = 16
+    #: Bits of scalar the window decomposition must cover.  The default (256)
+    #: matches the reference's byte-oriented windowing (submission.ts:79-83);
+    #: the fixed-base precomputed path narrows it to 253 (scalars are reduced
+    #: below the subgroup order, utils/params.py:SUBGROUP_ORDER), which drops
+    #: a whole window for c in 17..21 (ops/precompute.py).
+    scalar_bits: int = SCALAR_BITS
 
     @property
     def num_windows(self) -> int:
-        return -(-SCALAR_BITS // self.chunk_size)
+        return -(-self.scalar_bits // self.chunk_size)
 
     @property
     def num_buckets(self) -> int:
