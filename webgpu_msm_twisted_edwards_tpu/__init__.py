@@ -9,7 +9,13 @@ reduction — over 13-bit-limb Montgomery field arithmetic, scaled across chips
 with jax.sharding.
 """
 
-from .models.cuzk import compute_msm, compute_msm_batch
+from .models.cuzk import (
+    compute_msm,
+    compute_msm_batch,
+    compute_msm_batch_precomputed,
+    compute_msm_precomputed,
+    precompute_msm_base,
+)
 from .utils.params import EDWARDS_A, EDWARDS_D, P, PARAMS, SUBGROUP_ORDER, MsmConfig
 
 
@@ -38,6 +44,9 @@ def validate_pipeline(points, scalars, **kwargs):
 __all__ = [
     "compute_msm",
     "compute_msm_batch",
+    "precompute_msm_base",
+    "compute_msm_precomputed",
+    "compute_msm_batch_precomputed",
     "compute_msm_sharded",
     "compute_msm_batch_sharded",
     "validate_pipeline",

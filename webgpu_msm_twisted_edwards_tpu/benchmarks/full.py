@@ -133,9 +133,12 @@ def sweep(powers=(18, 19, 20), chunks=(13, 14, 15, 16), runs: int = 3,
             cfg = MsmConfig(chunk_size=c)
 
             def one_run():
+                # blocked falls through to the plain staged pipeline below the
+                # memory envelope, so this times the production path at every
+                # n including the 2^23+ streaming sizes (VERDICT r3 #7).
                 t0 = time.time()
                 rows = np.asarray(
-                    MP.msm_window_sums_staged(dcoords, dscalars, cfg, fold=True))
+                    MP.msm_window_sums_blocked(dcoords, dscalars, cfg, fold=True))
                 x, y = cuzk.packed_rows_to_extpoints(rows)[0].to_affine()
                 return (x, y), (time.time() - t0) * 1e3
             res, _compile = one_run()

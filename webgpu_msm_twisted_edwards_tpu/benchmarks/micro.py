@@ -287,9 +287,14 @@ def dashboard(power: int = 16, runs: int = 1) -> Table:
 
     coords, scalars, expected, src = _inputs_for_power(power)
     t = Table(["function", "first run incl. compile (ms)", "steady (ms)", "correct"])
+    import jax as _jax
+
     for name, fn in ALL_MSM_FUNCTIONS.items():
         if "naive" in name and power > 14:
             t.add(name, "skipped (naive path is O(256 n) on-device)", "-", "-")
+            continue
+        if "precomputed" in name and _jax.default_backend() != "tpu":
+            t.add(name, "skipped (Pallas path; interpret mode off-TPU)", "-", "-")
             continue
         t0 = time.time()
         res = fn(coords, scalars)

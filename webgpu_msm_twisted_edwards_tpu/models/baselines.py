@@ -94,10 +94,20 @@ def best_msm(points, scalars) -> dict[str, int]:
     return cuzk.compute_msm(points, scalars)
 
 
+def tpu_precomputed_msm(points, scalars) -> dict[str, int]:
+    """The fixed-base merged single-window path (ops/precompute.py), run
+    precompute-then-MSM in one call so it fits the uniform dashboard API —
+    the per-call precompute makes this a correctness row, not a speed row
+    (the mode exists to amortize the precompute across a batch)."""
+    pre = cuzk.precompute_msm_base(points)
+    return cuzk.compute_msm_precomputed(pre, scalars)
+
+
 #: Registry used by the benchmark harness (name -> entry), mirroring the
 #: reference UI's function list (reference: src/ui/AllBenchmarks.tsx:156-222).
 ALL_MSM_FUNCTIONS = {
     "your_msm (pallas)": best_msm,
+    "tpu_precomputed_msm": tpu_precomputed_msm,
     "tpu_pippenger_msm (xla)": tpu_pippenger_msm,
     "tpu_naive_msm": tpu_naive_msm,
     "cpu_compute_msm": cpu_compute_msm,

@@ -225,6 +225,17 @@ def precompute_fixed_base(
     assert n % PS.K == 0, f"n={n} must be a multiple of {PS.K} (pad first)"
     if cfg is None:
         cfg = fixed_base_config(n)
+    from ..utils.runtime import device_memory_bytes
+
+    table_bytes = cfg.num_windows * n * PS.TWR * 4
+    if table_bytes > 0.6 * device_memory_bytes():
+        raise ValueError(
+            f"merged fixed-base table ({table_bytes / 2**30:.1f} GB at "
+            f"W'={cfg.num_windows}) exceeds 60% of device memory — the "
+            "precomputed mode trades HBM for per-MSM time and tops out "
+            "around n=2^20 on a 16 GB chip; use compute_msm_batch for "
+            "larger point sets"
+        )
     merged = shifted_base_coords(jnp.asarray(coords_u32), cfg)
     table = _stage_merged_table(merged, interpret=interpret)
     nblk, blocks = default_entry_block(cfg.num_windows * n, table.size * 4)
