@@ -8,7 +8,6 @@ import random
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from webgpu_msm_twisted_edwards_tpu.cpu.curve import naive_msm
 from webgpu_msm_twisted_edwards_tpu.cpu.field import finv

@@ -194,3 +194,49 @@ def double(p1: Pt, c: Consts) -> Pt:
     f = fr_sub_lazy(g, cc, c)
     x3, y3, t3, z3 = mont_many([(e, f), (g, h), (e, h), (f, g)], pv)
     return Pt(x3, y3, t3, z3)
+
+
+def _double_rows_kernel(lblk, times, consts_ref, in_ref, o_ref):
+    """o = 2^times * p, rows packed [lblk, TW]."""
+    c = load_consts(consts_ref)
+    p = pt_unpack(jnp.transpose(in_ref[:]))
+    p = jax.lax.fori_loop(0, times, lambda i, q: double(q, c), p)
+    pad = jnp.zeros((in_ref.shape[-1] - 4 * LP, lblk), jnp.uint32)
+    o_ref[:, :] = jnp.transpose(jnp.concatenate([pt_pack(p), pad], axis=0))
+
+
+def double_rows(rows: jnp.ndarray, times: int,
+                interpret: bool | None = None) -> jnp.ndarray:
+    """times successive extended-Edwards doublings over packed coordinate
+    rows: [N, TW] packed (x,y,t,z) Montgomery points -> [N, TW].
+
+    The fixed-base precompute's window chain (ops/precompute.py) runs
+    c doublings per window over the whole point set — ~2 G Montgomery
+    multiplies at 2^20, which the batched Pallas path sustains at ~950 M/s
+    vs the XLA-mirror curve ops' far lower rate.  dbl-2008-hwcd, 8 products
+    per doubling (reference analogue: ec.template.wgsl:7-30)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, tw = rows.shape
+    orig_n = n
+    if n % 128 != 0:
+        pad = 128 - n % 128
+        rows = jnp.concatenate([rows, jnp.zeros((pad, tw), rows.dtype)])
+        n += pad
+    lblk = 128
+    consts = jnp.asarray(make_consts_array())
+    kern = lambda *refs: _double_rows_kernel(lblk, times, *refs)
+    out = pl.pallas_call(
+        kern,
+        grid=(n // lblk,),
+        in_specs=[
+            pl.BlockSpec((L, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lblk, tw), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((lblk, tw), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, tw), jnp.uint32),
+        interpret=interpret_default(interpret),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(consts, rows)
+    return out[:orig_n]
