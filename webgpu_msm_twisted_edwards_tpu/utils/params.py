@@ -197,9 +197,12 @@ def tpu_msm_config(n: int) -> MsmConfig:
     """Window sizing for the TPU Pallas pipeline, from measured sweeps on
     v5e (`benchmarks sweep`): below 2^19 the fixed per-bucket machinery
     (BPR, extraction — all O(num_windows * 2^(c-1))) outweighs the extra
-    scan work of more windows, so c=13 wins (2^18: 155 vs 171 ms); from 2^19
-    the O(n * windows) scan/gather work dominates and c=16 wins (2^19: 266
-    vs 277 ms).  The crossover sat at 2^20 in round 2 and moved down one
-    power when the MXU histogram + row-major layout removed most per-bucket
-    glue — re-sweep after any change to the fixed costs."""
+    scan work of more windows, so c=13 wins; from 2^19 the O(n * windows)
+    scan/gather work dominates and c=16 wins.  Round-4 re-sweep after the
+    DMA-engine gather (which cheapened the entry-linear side): crossover
+    unchanged — 2^18: c=13 135.7 vs c=16 151.9 ms; 2^19: c=16 236.0 vs
+    c=13 246.0; 2^21: c=16 807.0 vs c=15 917.1; 2^23 (streaming): c=16
+    4433.8.  (Round 3: crossover moved 2^20 -> 2^19 when the MXU histogram
+    + row-major layout removed most per-bucket glue.)  Re-sweep after any
+    change to the fixed costs."""
     return MsmConfig(chunk_size=13 if n < (1 << 19) else 16)
