@@ -80,6 +80,13 @@ _SCAN_LAYOUT = os.environ.get("MSM_SCAN_LAYOUT", "rm")
 #: gather at 2^23 rows on v5e (experiments/dma_gather_probe.py).  Set
 #: MSM_DMA_GATHER=0 to fall back to the XLA gather.
 _DMA_GATHER = os.environ.get("MSM_DMA_GATHER", "1") == "1"
+
+#: Below this many gathered rows per group the XLA gather wins instead —
+#: the DMA kernel's fixed costs (descriptor-issue ramp, no fusion with the
+#: surrounding program) dominate at small n.  Fresh-process A/B on v5e:
+#: 2^16/c=13 (1.3 M rows): 50.4 ms XLA vs 60.7 DMA end-to-end; 2^17/c=13
+#: (2.6 M): DMA wins (87.8 vs 95); 2^22/c=16: 2229 DMA vs 2459 XLA.
+_DMA_GATHER_MIN_ROWS = 1 << 21
 K = PS.K
 
 
@@ -220,9 +227,10 @@ def window_group_bucket_sums(
         # Row-major layout: feed the gather's natural output straight into
         # the kernel (per-step transposes ride the in-kernel permute unit);
         # skips the gather-side transpose pass entirely.
-        if _DMA_GATHER:
+        if _DMA_GATHER and wg * n >= _DMA_GATHER_MIN_ROWS:
             # DMA-engine gather: ~30% faster than the XLA gather on v5e
-            # (ops/pallas/gather.py; 106 vs 77 M rows/s measured).
+            # (ops/pallas/gather.py; 106 vs 77 M rows/s measured); XLA
+            # gather below the crossover (see _DMA_GATHER_MIN_ROWS).
             pidx_t = flat_pidx.reshape(nf, K).T
             rows = GA.dma_row_gather(table, pidx_t, interpret=interpret)
             rows = rows.reshape(nf, K, PS.TWR)
