@@ -47,3 +47,21 @@ def test_decompose_signed_matches_cpu_mirror():
         got = np.asarray(CV.decompose_scalars_signed(words, cfg))
         assert got.shape == (len(scalars), cfg.num_windows)
         assert got.tolist() == want
+
+
+def test_decompose_signed_narrow_scalar_bits():
+    """c=17 over scalar_bits=255 covers every subgroup scalar in 15 windows
+    (the final signed carry is 0 because the top raw window of a < 2^253
+    scalar is < 2^15 < half) — the configuration probed in
+    experiments/c17_probe.py.  Reconstruction must be exact."""
+    r = random.Random(24)
+    scalars = [r.randrange(SUBGROUP_ORDER) for _ in range(128)] + [0, 1, SUBGROUP_ORDER - 1]
+    cfg = MsmConfig(chunk_size=17, scalar_bits=255)
+    assert cfg.num_windows == 15
+    words = jnp.asarray(L.ints_to_u32_words(scalars))
+    got = np.asarray(CV.decompose_scalars_signed(words, cfg)).astype(object)
+    rebuilt = [
+        int(sum(int(d) << (17 * j) for j, d in enumerate(row))) for row in got
+    ]
+    assert rebuilt == scalars
+    assert int(np.abs(got.astype(np.int64)).max()) <= 1 << 16

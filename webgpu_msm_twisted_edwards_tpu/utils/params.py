@@ -203,6 +203,10 @@ def tpu_msm_config(n: int) -> MsmConfig:
     unchanged — 2^18: c=13 135.7 vs c=16 151.9 ms; 2^19: c=16 236.0 vs
     c=13 246.0; 2^21: c=16 807.0 vs c=15 917.1; 2^23 (streaming): c=16
     4433.8.  (Round 3: crossover moved 2^20 -> 2^19 when the MXU histogram
-    + row-major layout removed most per-bucket glue.)  Re-sweep after any
+    + row-major layout removed most per-bucket glue.)  Wider windows lose
+    the other way: c=17 over 255 scalar bits (15 windows, valid for
+    subgroup-reduced scalars) measured 452.1 vs 416.6 ms at 2^20 — the
+    O(W * 2^(c-1)) per-bucket machinery is 1.875x and not floor-dominated
+    (experiments/c17_probe.py, MEASUREMENTS.md).  Re-sweep after any
     change to the fixed costs."""
     return MsmConfig(chunk_size=13 if n < (1 << 19) else 16)
