@@ -48,9 +48,13 @@ def main(argv=None):
     p_trace.add_argument("--power", type=int, default=16)
     p_trace.add_argument("--log-dir", type=str, default="/tmp/msm_trace")
 
+    p_stages = sub.add_parser(
+        "stages", help="micro-benchmark: per-stage timing of the production pipeline")
+    p_stages.add_argument("--power", type=int, default=20)
+
     for name in ("mont", "barrett", "barrett-domb", "convert", "decompose",
                  "data-transfer", "add-points", "scalar-mul", "bucket-reduction",
-                 "horners-rule", "smtvp", "stages", "device-info"):
+                 "horners-rule", "smtvp", "device-info"):
         sub.add_parser(name, help=f"micro-benchmark: {name}")
 
     args = ap.parse_args(argv)
@@ -73,6 +77,8 @@ def main(argv=None):
         table = scaling.run(log2n=args.power, mode=args.mode)
     elif args.cmd == "trace":
         table = micro.trace(power=args.power, log_dir=args.log_dir)
+    elif args.cmd == "stages":
+        table = micro.stages(power=args.power)
     else:
         fn = {
             "mont": micro.mont_mul,
@@ -86,7 +92,6 @@ def main(argv=None):
             "bucket-reduction": micro.bucket_reduction,
             "horners-rule": micro.horners_rule,
             "smtvp": micro.smtvp,
-            "stages": micro.stages,
             "device-info": micro.device_info_table,
         }[args.cmd]
         table = fn()

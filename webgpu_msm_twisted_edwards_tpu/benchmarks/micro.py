@@ -372,6 +372,20 @@ def stages(power: int = 20, runs: int = 3) -> Table:
     while nf % lblk:
         lblk //= 2
 
+    # Production gather: per-row async-DMA kernel (ops/pallas/gather.py),
+    # ~30% faster than the XLA gather on v5e (106 vs 77 M rows/s measured,
+    # experiments/dma_gather_probe.py).
+    if jax.default_backend() == "tpu":
+        from ..ops.pallas import gather as GA
+
+        pidx_t = jnp.asarray(
+            np.asarray(gidx).reshape(nf, PS.K).T.copy())
+        dma_fn = jax.jit(lambda tb, ix: GA.dma_row_gather(tb, ix, interpret=False))
+        comp, ts = time_device(dma_fn, table, pidx_t, runs=runs)
+        m = median(ts)
+        t.add("gather (DMA, production)", f"{wg}*2^{power} rows x {PS.TWR * 4} B",
+              round(comp), round(m, 1), f"{wg * n / m / 1e3:.0f} M rows/s")
+
     def gather_t(tb, ix):
         r = tb[ix].reshape(nf // lblk, lblk, PS.K, PS.TWR)[:, :, :, :64]
         return jnp.transpose(r, (0, 2, 3, 1))
