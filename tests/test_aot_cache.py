@@ -89,6 +89,79 @@ def test_aot_poisoned_reload_falls_back(tmp_path, monkeypatch):
     assert len(blobs) == 1
 
 
+def test_aot_bad_reload_marks_runtime_and_disables(tmp_path, monkeypatch):
+    """A failed known-answer self-check persists a bad-runtime sentinel, and
+    with the default mode ('1') that sentinel turns the cache OFF for every
+    later process on the same runtime (VERDICT r4 #5: default-on needs the
+    guard to be durable, not just per-entry)."""
+    import pickle
+
+    monkeypatch.setenv("MSM_AOT_CACHE", "force")
+    monkeypatch.setenv("MSM_AOT_CACHE_DIR", str(tmp_path))
+
+    import jax.numpy as jnp
+
+    from webgpu_msm_twisted_edwards_tpu.utils import aot_cache as AC
+
+    @AC.aot_jit(static_argnames=("s",))
+    def r(x, s):
+        return x * s
+
+    x = jnp.arange(8, dtype=jnp.float32)
+    np.asarray(r(x, s=2))
+    (blob,) = [p for p in tmp_path.iterdir() if p.suffix == ".aotx"]
+    fmt, ndev, payload, in_tree, out_tree, _fp = pickle.loads(blob.read_bytes())
+    blob.write_bytes(pickle.dumps(
+        (fmt, ndev, payload, in_tree, out_tree, "bogus")))
+
+    assert not AC.runtime_marked_bad()
+
+    @AC.aot_jit(static_argnames=("s",))
+    def r(x, s):  # noqa: F811
+        return x * s + 1
+
+    out = np.asarray(r(x, s=2))      # falls back to a fresh compile...
+    assert (out == np.arange(8) * 2 + 1).all()
+    assert AC.runtime_marked_bad()   # ...and the runtime is now marked bad.
+
+    # Default mode: the sentinel disables the cache on a TPU runtime.
+    monkeypatch.setenv("MSM_AOT_CACHE", "1")
+    monkeypatch.setattr("jax.default_backend", lambda: "tpu")
+    monkeypatch.setattr(AC, "_runtime_is_axon", lambda: False)
+    assert not AC.enabled()
+    # force still overrides (probe escape hatch).
+    monkeypatch.setenv("MSM_AOT_CACHE", "force")
+    assert AC.enabled()
+    # Deleting the sentinel re-enables the default mode.
+    monkeypatch.setenv("MSM_AOT_CACHE", "1")
+    import os
+
+    os.unlink(AC._sentinel_path())
+    assert AC.enabled()
+
+
+def test_aot_default_mode_and_axon_autodetect(monkeypatch, tmp_path):
+    """MSM_AOT_CACHE defaults to '1' (cache on for healthy TPU runtimes);
+    the axon tunnel auto-detects to off (it replays reloaded executables
+    unreliably, docs/MEASUREMENTS.md)."""
+    monkeypatch.delenv("MSM_AOT_CACHE", raising=False)
+    monkeypatch.setenv("MSM_AOT_CACHE_DIR", str(tmp_path))
+
+    from webgpu_msm_twisted_edwards_tpu.utils import aot_cache as AC
+
+    assert AC._mode() == "1"
+    assert not AC.enabled()          # CPU backend in CI
+    monkeypatch.setattr("jax.default_backend", lambda: "tpu")
+    monkeypatch.setattr(AC, "_runtime_is_axon", lambda: True)
+    assert not AC.enabled()          # axon auto-off
+    monkeypatch.setattr(AC, "_runtime_is_axon", lambda: False)
+    assert AC.enabled()
+    # JAX_PLATFORMS mentioning axon is one of the detection signals.
+    monkeypatch.undo()
+    monkeypatch.setenv("JAX_PLATFORMS", "axon,cpu")
+    assert AC._runtime_is_axon()
+
+
 def test_aot_old_format_dropped(tmp_path, monkeypatch):
     """Entries from older on-disk formats are treated as corrupt (dropped,
     recompiled) rather than mis-unpickled."""

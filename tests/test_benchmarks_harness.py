@@ -68,6 +68,54 @@ def test_cli_help_lists_all_subcommands():
         assert cmd in out.stdout, cmd
 
 
+def test_curve_regression_gate(tmp_path):
+    """The round-over-round curve gate: >3% slower than the recorded curve is
+    flagged; same-or-faster and different-hardware runs are not."""
+    from webgpu_msm_twisted_edwards_tpu.benchmarks import full
+
+    path = str(tmp_path / "curve.json")
+    full.save_curve_baseline({16: 50.0, 20: 400.0}, "TPU v5 lite", path=path)
+    got = full.load_curve_baseline(path)
+    assert got["curve"] == {"16": 50.0, "20": 400.0}
+
+    # Within tolerance / faster: no warnings.
+    assert full.check_regressions({16: 51.0, 20: 395.0}, "TPU v5 lite",
+                                  path=path) == []
+    # >3% slower: flagged with the size and the delta.
+    warns = full.check_regressions({16: 61.0, 20: 398.0}, "TPU v5 lite",
+                                   path=path)
+    assert len(warns) == 1 and "2^16" in warns[0] and "+22.0%" in warns[0]
+    # Different hardware (e.g. CPU CI): the gate stays silent.
+    assert full.check_regressions({16: 500.0}, "cpu", path=path) == []
+    # No baseline file: silent.
+    assert full.check_regressions({16: 500.0}, "TPU v5 lite",
+                                  path=str(tmp_path / "none.json")) == []
+
+
+def test_scaling_harness_virtual_mesh():
+    """`benchmarks scaling` on the virtual CPU mesh: the harness must route
+    through the production plan (sharded_msm_plan) and produce a monotone
+    chips column with a compile column (VERDICT r4 #3 — the table must
+    reflect what compute_msm_sharded actually dispatches)."""
+    from webgpu_msm_twisted_edwards_tpu.benchmarks import scaling
+    from webgpu_msm_twisted_edwards_tpu.utils import oracle
+
+    if not oracle.available():
+        import pytest
+
+        pytest.skip("liboracle.so not built")
+    table = scaling.run(log2n=8, runs=1)
+    assert table.headers[:4] == ["chips", "pipeline", "c", "compile (s)"]
+    chips = [r[0] for r in table.rows]
+    assert chips[0] == 1 and chips == sorted(chips)
+    # CPU backend routes to the XLA pipeline in sharded_msm_plan.
+    assert all(r[1] == "xla" for r in table.rows)
+
+    btable = scaling.run(log2n=8, runs=1, mode="batch")
+    assert btable.headers[1] == "batch k"
+    assert [r[0] for r in btable.rows] == chips
+
+
 def test_run_batch_small():
     """`benchmarks batch` end-to-end at a tiny size: batch and one-shot agree
     and the oracle spot-check passes (full protocol, CPU backend)."""

@@ -293,6 +293,53 @@ def test_rm_layout_matches_pret_interpret(monkeypatch):
     assert (a == b).all()
 
 
+def test_quarter_store_scan_matches_full_interpret(monkeypatch):
+    """MSM_SCAN_QSTORE (scan stores only steps 4i+2/4i+3; extraction replays
+    <= 2 scan steps inside the fused kernel — VERDICT r4 #2) must be
+    BIT-identical to the full-store pipeline: the reconstruction runs the
+    same select+madd recurrence on the same packed representatives."""
+    from functools import partial
+
+    import jax
+
+    from webgpu_msm_twisted_edwards_tpu.ops import msm_pipeline as MP
+
+    # n=128 with c=8 gives multi-fragment windows (2 fragments of K=64), so
+    # carries, fragment-start restarts, and both r<2 / r>=2 end classes all
+    # occur; seed 79 checked to produce ends in every residue class mod 4.
+    pts, scalars, coords, sc = _inputs(128, seed=79)
+    cfg = MsmConfig(chunk_size=8)
+    a = np.asarray(jax.jit(partial(MP.msm_window_sums, cfg=cfg, interpret=True))(coords, sc))
+    monkeypatch.setattr(MP, "_SCAN_QSTORE", True)
+    b = np.asarray(jax.jit(partial(MP.msm_window_sums, cfg=cfg, interpret=True))(coords, sc))
+    assert (a == b).all()
+
+
+def test_i64_sort_matches_variadic_interpret(monkeypatch):
+    """MSM_SORT_I64 (one-operand (key<<32)|idx sort) must produce the same
+    window sums AS GROUP ELEMENTS: within-bucket entry order may differ from
+    the stable variadic sort (ties break by idx value), so packed projective
+    representatives can differ while the points must not."""
+    from functools import partial
+
+    import jax
+
+    from webgpu_msm_twisted_edwards_tpu.ops import msm_pipeline as MP
+
+    pts, scalars, coords, sc = _inputs(128, seed=80)
+    cfg = MsmConfig(chunk_size=8)
+    a = np.asarray(jax.jit(partial(MP.msm_window_sums, cfg=cfg, interpret=True))(coords, sc))
+    monkeypatch.setattr(MP, "_SORT_I64", True)
+    b = np.asarray(jax.jit(partial(MP.msm_window_sums, cfg=cfg, interpret=True))(coords, sc))
+    pa = cuzk.packed_rows_to_extpoints(a)
+    pb = cuzk.packed_rows_to_extpoints(b)
+    for x, y in zip(pa, pb):
+        if x.is_identity() or y.is_identity():
+            assert x.is_identity() and y.is_identity()
+        else:
+            assert x.to_affine() == y.to_affine()
+
+
 def test_compute_msm_device_resident_inputs():
     """compute_msm accepts DEVICE-RESIDENT jax arrays first-class (the
     production pattern: SRS + witness already in HBM), including the
@@ -398,6 +445,24 @@ def test_blocked_matches_staged_interpret():
     pa = cuzk.packed_rows_to_extpoints(a)
     pb = cuzk.packed_rows_to_extpoints(b)
     assert all(x.to_affine() == y.to_affine() for x, y in zip(pa, pb))
+
+
+def test_batch_blocked_matches_unblocked_interpret():
+    """The streaming batch path (each block's table converted ONCE for all k
+    MSMs, per-MSM EC accumulation across blocks — VERDICT r4 #4) must match
+    the unblocked batch bit-for-bit as group elements."""
+    from webgpu_msm_twisted_edwards_tpu.ops import msm_pipeline as MP
+
+    _, s0, coords, sc0 = _inputs(128, seed=83)
+    _, s1, _, sc1 = _inputs(128, seed=84)
+    cfg = MsmConfig(chunk_size=8)
+    want = MP.msm_window_sums_batch(coords, [sc0, sc1], cfg, interpret=True)
+    got = MP.msm_window_sums_batch(coords, [sc0, sc1], cfg, interpret=True,
+                                   block=64)
+    for a, b in zip(want, got):
+        pa = cuzk.packed_rows_to_extpoints(np.asarray(a))
+        pb = cuzk.packed_rows_to_extpoints(np.asarray(b))
+        assert all(x.to_affine() == y.to_affine() for x, y in zip(pa, pb))
 
 
 def test_default_block_size_derivation():

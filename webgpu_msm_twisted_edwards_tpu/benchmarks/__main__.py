@@ -19,6 +19,9 @@ def main(argv=None):
     p_full.add_argument("--powers", type=int, nargs="+", default=[16, 17, 18, 19, 20])
     p_full.add_argument("--runs", type=int, default=5)
     p_full.add_argument("--csv", type=str, default=None)
+    p_full.add_argument("--save-baseline", action="store_true",
+                        help="record this run's steady-state curve as the "
+                             "round-over-round regression reference")
 
     p_dash = sub.add_parser("dashboard", help="race all MSM implementations (UI parity)")
     p_dash.add_argument("--power", type=int, default=16)
@@ -62,7 +65,8 @@ def main(argv=None):
     from . import full, micro
 
     if args.cmd == "full":
-        table = full.run(powers=tuple(args.powers), runs=args.runs, csv_path=args.csv)
+        table = full.run(powers=tuple(args.powers), runs=args.runs, csv_path=args.csv,
+                         save_baseline=args.save_baseline)
     elif args.cmd == "batch":
         table = full.run_batch(power=args.power, k=args.k, resident=args.resident,
                                precompute=args.precompute, pre_chunk=args.pre_chunk)

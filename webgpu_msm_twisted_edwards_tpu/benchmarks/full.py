@@ -11,6 +11,8 @@ random inputs, reference: AllBenchmarks.tsx:53-55).
 
 from __future__ import annotations
 
+import json
+import os
 import time
 
 import numpy as np
@@ -18,6 +20,55 @@ import numpy as np
 from ..utils import oracle, test_data
 from ..utils.params import MsmConfig, tpu_msm_config
 from .timing import Table, median
+
+#: Checked-in previous-round steady-state curve (ms per power) — the
+#: round-over-round regression reference (VERDICT r4 #1: the 2^22/2^16
+#: round-4 regressions shipped silently because nothing diffed the curve).
+#: Refresh with `full.run(..., save_baseline=True)` after an intentional
+#: perf change.
+_CURVE_BASELINE = os.path.join(os.path.dirname(__file__), "curve_baseline.json")
+
+#: Relative slowdown vs the recorded curve that counts as a regression.
+_REGRESSION_TOL = 0.03
+
+
+def load_curve_baseline(path: str | None = None) -> dict | None:
+    """{"device_kind": ..., "curve": {"<power>": ms}} or None if absent."""
+    try:
+        with open(path or _CURVE_BASELINE) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def save_curve_baseline(curve: dict[int, float], device_kind: str,
+                        path: str | None = None) -> None:
+    data = {"device_kind": device_kind,
+            "curve": {str(p): round(ms, 1) for p, ms in curve.items()}}
+    with open(path or _CURVE_BASELINE, "w") as fh:
+        json.dump(data, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+
+def check_regressions(curve: dict[int, float], device_kind: str,
+                      path: str | None = None,
+                      tol: float = _REGRESSION_TOL) -> list[str]:
+    """Compare measured steady-state medians against the checked-in
+    previous-round curve; returns one warning line per power slower by more
+    than `tol`.  Skips silently when no baseline exists or the hardware
+    differs (CPU CI runs must not diff against TPU numbers)."""
+    base = load_curve_baseline(path)
+    if not base or base.get("device_kind") != device_kind:
+        return []
+    warnings = []
+    for p, ms in sorted(curve.items()):
+        ref = base["curve"].get(str(p))
+        if ref and ms > ref * (1 + tol):
+            warnings.append(
+                f"REGRESSION 2^{p}: {ms:.1f} ms vs recorded {ref:.1f} ms "
+                f"(+{(ms / ref - 1) * 100:.1f}%, tol {tol * 100:.0f}%)"
+            )
+    return warnings
 
 
 def _inputs_for_power(p: int, seed: int = 20230923, base_dir: str | None = None):
@@ -51,7 +102,8 @@ def _inputs_for_power(p: int, seed: int = 20230923, base_dir: str | None = None)
 
 
 def run(powers=(16, 17, 18, 19, 20), runs: int = 5, csv_path: str | None = None,
-        check: bool = True, base_dir: str | None = None) -> Table:
+        check: bool = True, base_dir: str | None = None,
+        save_baseline: bool = False) -> Table:
     import jax
     import jax.numpy as jnp
 
@@ -60,8 +112,12 @@ def run(powers=(16, 17, 18, 19, 20), runs: int = 5, csv_path: str | None = None,
     from ..ops import msm_pipeline as MP
     from ..utils.params import default_msm_config
 
+    device_kind = jax.devices()[0].device_kind
+    base = load_curve_baseline()
+    diff_col = bool(base and base.get("device_kind") == device_kind)
     table = Table(["n", "inputs", "first run incl. compile (ms)",
-                   "median steady (ms)", "runs (ms)", "correct"])
+                   "median steady (ms)", "runs (ms)", "vs recorded", "correct"])
+    curve: dict[int, float] = {}
     for p in powers:
         coords, scalars, expected, src = _inputs_for_power(p, base_dir=base_dir)
         n = coords.shape[0]
@@ -101,9 +157,19 @@ def run(powers=(16, 17, 18, 19, 20), runs: int = 5, csv_path: str | None = None,
         ok = "-"
         if check and expected is not None:
             ok = "yes" if res == tuple(expected) else "NO"
-        table.add(f"2^{p}", src, round(compile_ms), round(median(ts), 1),
-                  [round(t, 1) for t in ts], ok)
+        m = median(ts)
+        curve[p] = m
+        vs = "-"
+        if diff_col and base["curve"].get(str(p)):
+            ref = base["curve"][str(p)]
+            vs = f"{(m / ref - 1) * 100:+.1f}%"
+        table.add(f"2^{p}", src, round(compile_ms), round(m, 1),
+                  [round(t, 1) for t in ts], vs, ok)
         print(table.markdown().splitlines()[-1], flush=True)
+    for line in check_regressions(curve, device_kind):
+        print(line, flush=True)
+    if save_baseline:
+        save_curve_baseline(curve, device_kind)
     if csv_path:
         table.save_csv(csv_path)
     return table

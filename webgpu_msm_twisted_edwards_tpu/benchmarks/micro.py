@@ -357,7 +357,8 @@ def stages(power: int = 20, runs: int = 3) -> Table:
 
     # Row gather (sorted-order permutation): [n, TWR] table, wg*n rows.
     table = jnp.asarray(rng.integers(0, 1 << 13, size=(n, PS.TWR), dtype=np.int64).astype(np.uint32))
-    gidx = jnp.asarray(rng.integers(0, n, size=(wg * n,), dtype=np.int64).astype(np.int32))
+    gidx_np = rng.integers(0, n, size=(wg * n,), dtype=np.int64).astype(np.int32)
+    gidx = jnp.asarray(gidx_np)
     gather_fn = jax.jit(lambda tb, ix: tb[ix])
     comp, ts = time_device(gather_fn, table, gidx, runs=runs)
     m = median(ts)
@@ -378,8 +379,9 @@ def stages(power: int = 20, runs: int = 3) -> Table:
     if jax.default_backend() == "tpu":
         from ..ops.pallas import gather as GA
 
-        pidx_t = jnp.asarray(
-            np.asarray(gidx).reshape(nf, PS.K).T.copy())
+        # Built from the host-side copy: np.asarray(gidx) would fetch ~32 MB
+        # back through the ~40 MB/s tunnel (ADVICE r4).
+        pidx_t = jnp.asarray(gidx_np.reshape(nf, PS.K).T.copy())
         dma_fn = jax.jit(lambda tb, ix: GA.dma_row_gather(tb, ix, interpret=False))
         comp, ts = time_device(dma_fn, table, pidx_t, runs=runs)
         m = median(ts)

@@ -43,6 +43,7 @@ from .pallas import convert as PC
 from .pallas import gather as GA
 from .pallas import hist as HG
 from .pallas import scan as PS
+from .pallas import ec as EC
 from .pallas.common import LP, int_to_limbs
 from .pallas.ec import masked_add_rows
 
@@ -81,12 +82,37 @@ _SCAN_LAYOUT = os.environ.get("MSM_SCAN_LAYOUT", "rm")
 #: MSM_DMA_GATHER=0 to fall back to the XLA gather.
 _DMA_GATHER = os.environ.get("MSM_DMA_GATHER", "1") == "1"
 
+#: A/B switch routing the EXTRACTION row gathers (scan-value rows, carry
+#: rows) through the DMA-engine gather instead of XLA gathers — the round-4
+#: budget prices them at ~20 ms/MSM at 2^20 (end-gather 8.4 + extraction row
+#: gathers ~11.5, VERDICT r4 #6).  Default from measurement (MEASUREMENTS.md
+#: round-5 entry).
+_DMA_EXTRACT = os.environ.get("MSM_DMA_EXTRACT", "0") == "1"
+
+#: A/B switch for the i64 packed sort: (key << 32) | idx sorted as ONE
+#: operand instead of the 2-operand variadic (key, payload) sort.  Standalone
+#: the two are a wash (experiments/sort_pack_probe.py: 50.3 vs 52.5 ms at
+#: [8, 2^20]); this switch exists to re-test IN CONTEXT, where the round-4
+#: XProf budget attributes ~11 ms at 2^20 to payload split/concat fusions
+#: around the variadic sort (VERDICT r4 #6).
+_SORT_I64 = os.environ.get("MSM_SORT_I64", "0") == "1"
+
+#: A/B switch for the quarter-store scan (VERDICT r4 #2): the scan kernel
+#: stores only steps (4i+2, 4i+3) — write traffic halved — and extraction
+#: reconstructs unstored steps with <= 2 madds fused into the carry-combine
+#: kernel (ops/pallas/ec.py::extract_reconstruct_rows).  Only the production
+#: rm+sames doubled-table path supports it.  Default from measurement (see
+#: docs/MEASUREMENTS.md round-5 entry).
+_SCAN_QSTORE = os.environ.get("MSM_SCAN_QSTORE", "0") == "1"
+
 #: Below this many gathered rows per group the XLA gather wins instead —
 #: the DMA kernel's fixed costs (descriptor-issue ramp, no fusion with the
-#: surrounding program) dominate at small n.  Fresh-process A/B on v5e:
-#: 2^16/c=13 (1.3 M rows): 50.4 ms XLA vs 60.7 DMA end-to-end; 2^17/c=13
-#: (2.6 M): DMA wins (87.8 vs 95); 2^22/c=16: 2229 DMA vs 2459 XLA.
-_DMA_GATHER_MIN_ROWS = 1 << 21
+#: surrounding program) dominate at small n.  Round-5 same-session A/B on
+#: v5e (end-to-end medians, experiments/ log in docs/MEASUREMENTS.md):
+#: 1.3 M rows/group (2^16/c=13): XLA wins; 2.6 M (2^17/c=13): DMA wins;
+#: 4.2 M (2^22/c=16 at wg=1) and up: DMA wins.  Env-overridable for gate
+#: probes (MSM_DMA_GATHER_MIN_ROWS).
+_DMA_GATHER_MIN_ROWS = int(os.environ.get("MSM_DMA_GATHER_MIN_ROWS", 1 << 21))
 K = PS.K
 
 
@@ -173,7 +199,21 @@ def window_group_bucket_sums(
     # is a wash at [8, 2^20]/c=16 (experiments/sort_pack_probe.py).
     sbit = jnp.int32(1 << 30) if single else jnp.int32(n)
     idxs = jnp.where(sign_neg, idx + sbit, idx)
-    keys_s, idxs_s = lax.sort((keys, idxs), dimension=1, num_keys=1)
+    if _SORT_I64:
+        # One-operand i64 sort: both fields non-negative, key in the high
+        # word, so i64 order == (key, idx) lexicographic order and the low
+        # word unpacks exactly (idx < 2^31).  x64 is enabled only for this
+        # trace-time window; inputs/outputs stay i32.  Bucket contents are
+        # identical; within-bucket entry ORDER can differ from the stable
+        # variadic sort (ties break by idx value, not pre-sort position), so
+        # packed representatives may differ while the group elements match.
+        with jax.enable_x64(True):
+            kv = (keys.astype(jnp.int64) << 32) | idxs.astype(jnp.int64)
+            kv_s = lax.sort(kv, dimension=1)
+            keys_s = (kv_s >> 32).astype(jnp.int32)
+            idxs_s = kv_s.astype(jnp.int32)
+    else:
+        keys_s, idxs_s = lax.sort((keys, idxs), dimension=1, num_keys=1)
 
     # Bucket end positions / counts (the CSC col_ptr analogue).  Derived from
     # an MXU one-hot-matmul histogram (ops/pallas/hist.py) + cumsum — at 2^20
@@ -214,6 +254,7 @@ def window_group_bucket_sums(
         flat_pidx = jnp.concatenate([flat_pidx, jnp.zeros((pad_e,), jnp.int32)])
 
     keys_t = flat_keys.reshape(nf, K).T                              # [K, NF]
+    quarter_rows = None                    # set by the quarter-store rm path
     if single:
         flat_neg = flat_pidx >> 30                                   # sign bit
         flat_pidx = flat_pidx & jnp.int32((1 << 30) - 1)
@@ -241,6 +282,10 @@ def window_group_bucket_sums(
             # negation happens in-kernel (msm_scan_rm_signed).
             bits_t = PS.keys_to_sames(keys_t) | (flat_neg.reshape(nf, K).T << 1)
             t_scan = PS.msm_scan_rm_signed(rows, bits_t, interpret=interpret)
+        elif _SCAN_QSTORE:
+            t_scan = PS.msm_scan_rm_sames_q(rows, PS.keys_to_sames(keys_t),
+                                            interpret=interpret)
+            quarter_rows = rows            # reconstruction reads the scan input
         else:
             t_scan = PS.msm_scan_rm_sames(rows, PS.keys_to_sames(keys_t),
                                           interpret=interpret)
@@ -269,7 +314,9 @@ def window_group_bucket_sums(
                                        interpret=interpret)
         else:
             t_scan = PS.msm_scan_pret(rows_t, keys_t, interpret=interpret)
-    # t_scan: [NF, K//2, 2*TW] — step pairs side by side per 128-lane row.
+    # t_scan: [NF, K//2, 2*TW] — step pairs side by side per 128-lane row
+    # ([NF, K//4, 2*TW] holding steps (4i+2, 4i+3) on the quarter-store path).
+    is_quarter = _SCAN_QSTORE and quarter_rows is not None
 
     # Cross-fragment carries.  Global keys make runs never span windows.
     gk_frag = flat_gkeys.reshape(nf, K)
@@ -279,7 +326,7 @@ def window_group_bucket_sums(
     cont = (lk == fk_next).astype(jnp.int32)
     single = (fk == lk).astype(jnp.int32)
     a = cont * single
-    sfx = t_scan[:, K // 2 - 1, TW:]                                 # [NF, TW]
+    sfx = t_scan[:, -1, TW:]                                         # [NF, TW]
     ident = jnp.asarray(identity_row_np())
     b = jnp.where((cont != 0)[:, None], sfx, ident[None, :])
     carries = PS.seg_carry_scan(a, b, interpret=interpret)           # [NF, TW]
@@ -287,22 +334,59 @@ def window_group_bucket_sums(
     # Extraction at segment ends.
     ends_c = jnp.clip(ends, 0, n - 1)
     flat_end = (jnp.arange(wg, dtype=jnp.int32)[:, None] * n + ends_c).reshape(-1)
-    # Entry e lives at pair-row e//2, half e%2 (K is even, so e//2 ==
-    # (e//K)*(K//2) + (e%K)//2 — the reshape below is exactly pair-rows).
-    t2d = t_scan.reshape(nf * (K // 2), 2 * TW)
-    pair_rows = t2d[flat_end >> 1]                                   # [Wg*NB, 2*TW]
-    odd = (flat_end & 1) == 1
-    tval = jnp.where(odd[:, None], pair_rows[:, TW:], pair_rows[:, :TW])
+
+    dma_x = _DMA_EXTRACT and not PS._interpret_default(interpret)
+    xgather = GA.dma_gather_flat if dma_x else (lambda t, i: t[i])
 
     frag = ends_c // K                                               # fragment within window? -> global
     gfrag = (jnp.arange(wg, dtype=jnp.int32)[:, None] * (n // K) + frag).reshape(-1)
-    cval = carries[gfrag]                                            # [Wg*NB, TW]
+    cval = xgather(carries, gfrag)                                   # [Wg*NB, TW]
     fragstart_key = jnp.take_along_axis(keys_s, (ends_c // K) * K, axis=1)  # [Wg, NB]
     bucket_ids = jnp.broadcast_to(jnp.arange(nb, dtype=jnp.int32)[None], (wg, nb))
     mask_c = ((fragstart_key == bucket_ids) & (counts > 0)).reshape(-1).astype(jnp.int32)
-
-    buckets = masked_add_rows(tval, cval, mask_c, interpret=interpret)
     nonzero = (counts > 0).reshape(-1)
+
+    if is_quarter:
+        # Quarter-store extraction (VERDICT r4 #2): fragment-local step
+        # s = 4q + r.  r >= 2: the value is stored (row q, half r-2).
+        # r < 2: start from stored T[4q-1] (row q-1, odd half; restart handled
+        # by the same-segment bit of step 4q — a fragment's step 0 always
+        # restarts) and replay <= 2 scan steps inside the extraction kernel.
+        s = flat_end & (K - 1)
+        q = s >> 2
+        r = s & 3
+        direct = r >= 2
+        gq = (flat_end >> 6) * (K // 4) + q                          # global quarter row
+        t2dq = t_scan.reshape(nf * (K // 4), 2 * TW)
+        stored = xgather(t2dq, jnp.clip(jnp.where(direct, gq, gq - 1), 0))
+        use_odd = jnp.where(direct, r - 2, 1)
+        base = jnp.where((use_odd == 1)[:, None], stored[:, TW:], stored[:, :TW])
+        # Scan-input rows for steps 4q, 4q+1 — adjacent, one paired gather.
+        flat_rows2 = quarter_rows.reshape(nf * K // 2, 2 * PS.TWR)
+        pair_in = xgather(flat_rows2, (flat_end - r) >> 1)           # [NE, 2*TWR]
+        # Same-segment bits from the padded sorted keys (identical semantics
+        # to keys_to_sames: a fragment's step 0 restarts unconditionally).
+        fe0 = flat_end - r
+        k0 = flat_keys[fe0]
+        km1 = flat_keys[jnp.clip(fe0 - 1, 0)]
+        k1 = flat_keys[jnp.clip(fe0 + 1, 0, flat_keys.shape[0] - 1)]
+        same1 = (k0 == km1) & ((fe0 & (K - 1)) != 0)
+        same2 = k1 == k0
+        bits = ((r < 2).astype(jnp.int32)
+                | ((r == 1).astype(jnp.int32) << 1)
+                | (same1.astype(jnp.int32) << 2)
+                | (same2.astype(jnp.int32) << 3)
+                | (mask_c << 4))
+        buckets = EC.extract_reconstruct_rows(base, pair_in, bits, cval,
+                                              interpret=interpret)
+    else:
+        # Entry e lives at pair-row e//2, half e%2 (K is even, so e//2 ==
+        # (e//K)*(K//2) + (e%K)//2 — the reshape below is exactly pair-rows).
+        t2d = t_scan.reshape(nf * (K // 2), 2 * TW)
+        pair_rows = xgather(t2d, flat_end >> 1)                      # [Wg*NB, 2*TW]
+        odd = (flat_end & 1) == 1
+        tval = jnp.where(odd[:, None], pair_rows[:, TW:], pair_rows[:, :TW])
+        buckets = masked_add_rows(tval, cval, mask_c, interpret=interpret)
     buckets = jnp.where(nonzero[:, None], buckets, ident[None, :])
     return buckets                                                   # [Wg*NB, TW]
 
@@ -479,7 +563,8 @@ def warmup_staged(
     nb = cfg.num_buckets
     if n >= _MONOLITHIC_MAX_N and window_group == 0:
         window_group = default_window_group(n, w)
-    key = (n, cfg.chunk_size, window_group, fold, _SINGLE_TABLE, _SCAN_LAYOUT)
+    key = (n, cfg.chunk_size, window_group, fold, _SINGLE_TABLE, _SCAN_LAYOUT,
+           _SCAN_QSTORE)
     if key in _WARMED:
         return 0.0
     t0 = _time.time()
@@ -583,6 +668,7 @@ def msm_window_sums_batch(
     window_group: int = 0,
     interpret: bool | None = None,
     fold: bool = False,
+    block: int = 0,
 ) -> list:
     """Batched MSMs over ONE point set and many scalar vectors — the
     production-proving pattern (a fixed SRS, one MSM per committed
@@ -593,11 +679,24 @@ def msm_window_sums_batch(
     packed projective totals with fold=True (device Horner — keeps the
     per-MSM host work to one point decode).
 
+    Beyond the device-memory envelope (block=0 derives the same block size
+    as :func:`msm_window_sums_blocked`), the point axis streams in blocks:
+    each block's table is converted ONCE and reused by all k MSMs before
+    moving on — k streaming one-shot calls would rebuild every block's
+    table k times (VERDICT r4 #4; reference scale-cap analogue:
+    README.md:539-551 — its batch story tops out at one 2^20 MSM at a time).
+
     The reference has no batch entry point (one compute_msm per call,
     submission.ts:73); this is a new capability enabled by the staged
     pipeline."""
     n = coords_u32.shape[0]
     assert n % K == 0, f"n={n} must be a multiple of the scan fragment size {K}"
+    if block == 0:
+        block = default_block_size(n)
+    if n > block:
+        return _msm_window_sums_batch_blocked(
+            coords_u32, scalars_u32_list, cfg, block=block,
+            window_group=window_group, interpret=interpret, fold=fold)
     w = cfg.num_windows
     nb = cfg.num_buckets
     if window_group == 0:
@@ -620,6 +719,53 @@ def msm_window_sums_batch(
         else:
             outs.append(_stage_bpr(group_rows, w=w, interpret=interpret))
     return outs
+
+
+def _msm_window_sums_batch_blocked(
+    coords_u32: jnp.ndarray,
+    scalars_u32_list,
+    cfg: MsmConfig,
+    block: int,
+    window_group: int = 0,
+    interpret: bool | None = None,
+    fold: bool = False,
+) -> list:
+    """Streaming batch: block the point axis (tables beyond device memory),
+    convert each block's table ONCE, run all k MSMs' window sums for that
+    block, EC-accumulate per MSM across blocks.  Identical results to the
+    unblocked batch (window sums over disjoint point subsets add)."""
+    n = coords_u32.shape[0]
+    while n % block != 0 and block > K:
+        block //= 2                       # n is a multiple of 4096 (padded)
+    assert n % block == 0, (
+        f"n={n} must be a multiple of the block size {block} "
+        "(compute_msm_batch pads with zero scalars)"
+    )
+    w = cfg.num_windows
+    nb = cfg.num_buckets
+    if window_group == 0:
+        window_group = default_window_group(block, w)
+    assert w % window_group == 0
+    groups = w // window_group
+    accs = [None] * len(scalars_u32_list)
+    for b0 in range(0, n, block):
+        table = _stage_table(coords_u32[b0:b0 + block], interpret=interpret)
+        for i, sc in enumerate(scalars_u32_list):
+            digits_t = _stage_digits_only(sc[b0:b0 + block],
+                                          chunk_size=cfg.chunk_size,
+                                          interpret=interpret)
+            group_rows = tuple(
+                _stage_group(table, digits_t, np.int32(g), nb=nb,
+                             wg=window_group, interpret=interpret)
+                for g in range(groups)
+            )
+            rows = _stage_bpr(group_rows, w=w, interpret=interpret)
+            accs[i] = rows if accs[i] is None else _stage_combine(
+                accs[i], rows, interpret=interpret)
+    if fold:
+        return [_stage_fold(a, cbits=cfg.chunk_size, interpret=interpret)
+                for a in accs]
+    return accs
 
 
 @aot_jit(static_argnames=("interpret",))

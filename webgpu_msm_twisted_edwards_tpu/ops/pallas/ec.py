@@ -182,6 +182,85 @@ def masked_add_rows(a_rows: jnp.ndarray, b_rows: jnp.ndarray, mask: jnp.ndarray,
     return out[:orig_n]
 
 
+def _extract_reconstruct_kernel(lblk, twr, consts_ref, b_ref, r_ref, m_ref,
+                                c_ref, o_ref):
+    """Quarter-store extraction (see ops/pallas/scan.py::msm_scan_rm_sames_q):
+    per row, re-derive the inclusive scan value at an unstored step with up to
+    two madd steps (identical recurrence to the scan kernel — select the
+    restart, madd the table row), then apply the cross-fragment carry.
+
+    b_ref: [lblk, TW] packed base values (the nearest stored scan value at or
+    before the target step; garbage when the first re-madd restarts).
+    r_ref: [lblk, 2*twr] the scan-input rows at steps 4q and 4q+1 (row-major
+    cached y-x, y+x, 2*d*t at cols 0..3L-1 of each twr half).
+    m_ref: [1, lblk] int32 bits: 1 apply step 4q, 2 apply step 4q+1,
+    4 same-segment at 4q, 8 same-segment at 4q+1, 16 carry mask.
+    c_ref: [lblk, TW] packed carry rows.  o_ref: [lblk, TW]."""
+    c = load_consts(consts_ref)
+    bits = m_ref[0:1, :]
+    v = pt_unpack(jnp.transpose(b_ref[:]))
+    ident = pt_identity(v.x.shape, c)
+    slab = jnp.transpose(r_ref[:])                        # [2*twr, lblk]
+
+    def apply_step(v, base, mbit, sbit):
+        d2 = slab[base + 0 * L:base + 1 * L]
+        s2 = slab[base + 1 * L:base + 2 * L]
+        td2 = slab[base + 2 * L:base + 3 * L]
+        stepped = madd(pt_select((bits & sbit) != 0, v, ident), d2, s2, td2, c)
+        return pt_select((bits & mbit) != 0, stepped, v)
+
+    v = apply_step(v, 0, 1, 4)
+    v = apply_step(v, twr, 2, 8)
+    carry = pt_unpack(jnp.transpose(c_ref[:]))
+    out = pt_select((bits & 16) != 0, full_add(v, carry, c), v)
+    pad = jnp.zeros((b_ref.shape[-1] - 4 * LP, lblk), jnp.uint32)
+    o_ref[:, :] = jnp.transpose(jnp.concatenate([pt_pack(out), pad], axis=0))
+
+
+def extract_reconstruct_rows(base_rows: jnp.ndarray, pair_rows: jnp.ndarray,
+                             bits: jnp.ndarray, carry_rows: jnp.ndarray,
+                             interpret: bool | None = None) -> jnp.ndarray:
+    """Fused quarter-store extraction: base_rows [N, TW] packed scan values,
+    pair_rows [N, 2*TWR] scan-input rows for steps (4q, 4q+1), bits [N] int32
+    (see kernel), carry_rows [N, TW].  Returns [N, TW] bucket values —
+    bit-identical to the full-store pipeline's masked_add_rows(tval, cval,
+    mask) on the same buckets (the reconstruction replays the scan kernel's
+    own recurrence on the same packed representatives)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, tw = base_rows.shape
+    twr2 = pair_rows.shape[1]
+    orig_n = n
+    if n % 128 != 0:
+        pad = 128 - n % 128
+        base_rows = jnp.concatenate([base_rows, jnp.zeros((pad, tw), base_rows.dtype)])
+        pair_rows = jnp.concatenate([pair_rows, jnp.zeros((pad, twr2), pair_rows.dtype)])
+        carry_rows = jnp.concatenate([carry_rows, jnp.zeros((pad, tw), carry_rows.dtype)])
+        bits = jnp.concatenate([bits.astype(jnp.int32), jnp.zeros((pad,), jnp.int32)])
+        n += pad
+    lblk = 128
+    consts = jnp.asarray(make_consts_array())
+    bits2 = bits.astype(jnp.int32).reshape(1, n)
+    kern = lambda *refs: _extract_reconstruct_kernel(lblk, twr2 // 2, *refs)
+    out = pl.pallas_call(
+        kern,
+        grid=(n // lblk,),
+        in_specs=[
+            pl.BlockSpec((L, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lblk, tw), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lblk, twr2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lblk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lblk, tw), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((lblk, tw), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, tw), jnp.uint32),
+        interpret=interpret_default(interpret),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(consts, base_rows, pair_rows, bits2, carry_rows)
+    return out[:orig_n]
+
+
 def double(p1: Pt, c: Consts) -> Pt:
     """dbl-2008-hwcd with a = -1 (reference analogue: ec.template.wgsl:7-30)."""
     pv = c.p

@@ -80,15 +80,15 @@ def dma_row_gather(
     unroll: int = UNROLL,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
-    """table: [nt, TWR] u32 rows; pidx_t: [K, NF] int32 with the row index
-    for entry f*K + j at [j, f].  Returns [NF*K, TWR] — bit-identical to
-    ``table[pidx]`` for the flat entry-major pidx.
+    """table: [nt, w] u32 rows (w = TWR for the scan-input gather; any row
+    width works — the descriptors copy whole rows); pidx_t: [K, NF] int32
+    with the row index for entry f*K + j at [j, f].  Returns [NF*K, w] —
+    bit-identical to ``table[pidx]`` for the flat entry-major pidx.
 
     Interpret mode falls back to the XLA gather (Pallas interpret does not
     model the DMA semaphore byte counting this kernel relies on)."""
     nf = pidx_t.shape[1]
-    assert pidx_t.shape[0] == K and table.shape[1] == TWR, (
-        pidx_t.shape, table.shape)
+    assert pidx_t.shape[0] == K, (pidx_t.shape, table.shape)
     if interpret_default(interpret):
         flat = jnp.transpose(pidx_t).reshape(-1)
         return table[flat]
@@ -105,7 +105,24 @@ def dma_row_gather(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((nf * K, TWR), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((nf * K, table.shape[1]), jnp.uint32),
         scratch_shapes=[pltpu.SemaphoreType.DMA(())],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(pidx_t, table)
+
+
+def dma_gather_flat(
+    table: jnp.ndarray,
+    flat_idx: jnp.ndarray,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """``table[flat_idx]`` on the DMA engines for a flat [N] index vector
+    (N must be a multiple of K=64 — true of every extraction gather: the end
+    count per group is wg * 2^(c-1) with c >= 8).  Used by the extraction
+    path's row gathers (pair rows, carries) when MSM_DMA_EXTRACT=1."""
+    n = flat_idx.shape[0]
+    assert n % K == 0, n
+    if interpret_default(interpret):
+        return table[flat_idx]
+    return dma_row_gather(table, flat_idx.reshape(n // K, K).T,
+                          interpret=interpret)

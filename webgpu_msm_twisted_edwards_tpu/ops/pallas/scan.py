@@ -72,7 +72,8 @@ def _msm_scan_kernel(lblk, consts_ref, rows_ref, keys_ref, out_ref):
 
 
 def _msm_scan_body(lblk, consts_ref, read_rows, keys_ref, out_ref,
-                   read_slab=None, read_same=None, signed_bit=False):
+                   read_slab=None, read_same=None, signed_bit=False,
+                   store_quarter=False):
     """Shared scan loop: read_rows(j) -> [lblk, >=3*L] slab of table rows for
     step j (entries on sublanes), or read_slab(j) -> [3*L, lblk] already
     limb-major (pre-transposed input; skips the per-step in-kernel
@@ -88,7 +89,15 @@ def _msm_scan_body(lblk, consts_ref, read_rows, keys_ref, out_ref,
     [*, TW=64] output block gets physically padded to 128 lanes by the (8,128)
     tiling, doubling write traffic — buffering one step and writing pairs at
     full tiles is worth ~8% of the whole kernel (measured,
-    experiments/scan_out_probe.py)."""
+    experiments/scan_out_probe.py).
+
+    With store_quarter=True only steps (4i+2, 4i+3) are stored (out_ref is
+    [lblk, K//4, 2*TW]) — both packs happen back-to-back at the tail of each
+    4-step body, so unlike the rejected odd-step half-store
+    (docs/MEASUREMENTS.md "Half-store scan output") no packed value is held
+    across further madd steps; extraction reconstructs values at steps
+    4i/4i+1 with <= 2 in-kernel madds (ops/pallas/ec.py::
+    extract_reconstruct_rows) — VERDICT r4 #2."""
     c = load_consts(consts_ref)
     ident = pt_identity((L, lblk), c)
     key0 = jnp.full((1, lblk), -1, jnp.int32)
@@ -121,6 +130,20 @@ def _msm_scan_body(lblk, consts_ref, read_rows, keys_ref, out_ref,
             same = kj == kprev
         acc = madd(pt_select(same, acc, ident), d2, s2, td2, c)
         return acc, kj
+
+    if store_quarter:
+        def body_q(j4, state):
+            acc, kprev = step(4 * j4, *state)
+            acc, kprev = step(4 * j4 + 1, acc, kprev)
+            acc, kprev = step(4 * j4 + 2, acc, kprev)
+            even = jnp.concatenate([pt_pack(acc), pad], axis=0)  # [TW, lblk]
+            acc, kprev = step(4 * j4 + 3, acc, kprev)
+            odd = jnp.concatenate([pt_pack(acc), pad], axis=0)
+            out_ref[:, j4, :] = jnp.transpose(jnp.concatenate([even, odd], axis=0))
+            return acc, kprev
+
+        jax.lax.fori_loop(0, K // 4, body_q, (ident, key0))
+        return
 
     def body(j2, state):
         acc, kprev = state
@@ -195,7 +218,7 @@ def msm_scan_fused(table: jnp.ndarray, pidx_t: jnp.ndarray, keys_t: jnp.ndarray,
 
 
 def _scan_pallas_call(kernel_body, rows: jnp.ndarray, aux_t: jnp.ndarray,
-                      interpret: bool | None) -> jnp.ndarray:
+                      interpret: bool | None, steps_per_row: int = 2) -> jnp.ndarray:
     """Shared launcher for every scan variant: rows is either the row-major
     [NF, K, TWR] gather output or the limb-major [NF//lblk, K, 64, lblk]
     pre-transposed layout; aux_t is the [K, NF] per-step word (sorted keys,
@@ -218,6 +241,7 @@ def _scan_pallas_call(kernel_body, rows: jnp.ndarray, aux_t: jnp.ndarray,
         rows_spec = pl.BlockSpec((lblk, K, rows.shape[-1]), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
     consts = jnp.asarray(make_consts_array())
+    kout = K // steps_per_row
     return pl.pallas_call(
         partial(kernel_body, lblk),
         grid=(nf // lblk,),
@@ -226,9 +250,9 @@ def _scan_pallas_call(kernel_body, rows: jnp.ndarray, aux_t: jnp.ndarray,
             rows_spec,
             pl.BlockSpec((K, lblk), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((lblk, K // 2, 2 * TW), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((lblk, kout, 2 * TW), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nf, K // 2, 2 * TW), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((nf, kout, 2 * TW), jnp.uint32),
         interpret=_interpret_default(interpret),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(consts, rows, aux_t)
@@ -324,6 +348,27 @@ def msm_scan_rm_sames(rows: jnp.ndarray, sames_t: jnp.ndarray,
     Returns T [NF, K//2, 2*TW] — identical to :func:`msm_scan` on the same
     rows/keys."""
     return _scan_pallas_call(_msm_scan_rm_sames_kernel, rows, sames_t, interpret)
+
+
+def _msm_scan_rm_sames_q_kernel(lblk, consts_ref, rows_ref, sames_ref, out_ref):
+    """Quarter-store production candidate (VERDICT r4 #2): the rm+sames scan
+    storing only steps (4i+2, 4i+3) — write traffic halved again vs the
+    pair-packed layout, extraction reconstructs the unstored steps with <= 2
+    fused madds (ec.py::extract_reconstruct_rows)."""
+    _msm_scan_body(lblk, consts_ref, lambda j: rows_ref[:, j, 0:3 * L], None,
+                   out_ref, read_same=lambda j: sames_ref[pl.ds(j, 1), :] != 0,
+                   store_quarter=True)
+
+
+def msm_scan_rm_sames_q(rows: jnp.ndarray, sames_t: jnp.ndarray,
+                        interpret: bool | None = None) -> jnp.ndarray:
+    """rows: [NF, K, TWR] gathered table rows (pre-negated, row-major);
+    sames_t: [K, NF] from :func:`keys_to_sames`.  Returns T-quarter
+    [NF, K//4, 2*TW]: row j holds the inclusive scan values at steps
+    (4j+2, 4j+3) side by side; values at steps 4j/4j+1 are reconstructed at
+    extraction (msm_pipeline quarter path)."""
+    return _scan_pallas_call(_msm_scan_rm_sames_q_kernel, rows, sames_t,
+                             interpret, steps_per_row=4)
 
 
 def _msm_scan_rm_signed_kernel(lblk, consts_ref, rows_ref, bits_ref, out_ref):
