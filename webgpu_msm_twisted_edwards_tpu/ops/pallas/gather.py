@@ -124,5 +124,15 @@ def dma_gather_flat(
     assert n % K == 0, n
     if interpret_default(interpret):
         return table[flat_idx]
+    w = table.shape[1]
+    if w % 128 != 0:
+        # Mosaic tiles u32 rows (1, 128): a row-copy descriptor over a
+        # narrower row slices mid-tile and fails to compile ("slice shape
+        # along dimension 1 must be aligned to tiling (128)").  Pad the
+        # table once — e.g. the 64-wide carries table — and slice back.
+        wp = -(-w // 128) * 128
+        table = jnp.pad(table, ((0, 0), (0, wp - w)))
+        return dma_row_gather(table, flat_idx.reshape(n // K, K).T,
+                              interpret=interpret)[:, :w]
     return dma_row_gather(table, flat_idx.reshape(n // K, K).T,
                           interpret=interpret)
