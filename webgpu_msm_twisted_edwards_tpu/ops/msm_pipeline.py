@@ -85,8 +85,9 @@ _DMA_GATHER = os.environ.get("MSM_DMA_GATHER", "1") == "1"
 #: A/B switch routing the EXTRACTION row gathers (scan-value rows, carry
 #: rows) through the DMA-engine gather instead of XLA gathers — the round-4
 #: budget prices them at ~20 ms/MSM at 2^20 (end-gather 8.4 + extraction row
-#: gathers ~11.5, VERDICT r4 #6).  Default from measurement (MEASUREMENTS.md
-#: round-5 entry).
+#: gathers ~11.5, VERDICT r4 #6).  Measured an exact end-to-end wash at 2^20
+#: (411.3 vs 411.3 ms, oracle MATCH) — default OFF to keep XLA's fusion
+#: freedom (docs/MEASUREMENTS.md round-5 smalls entry).
 _DMA_EXTRACT = os.environ.get("MSM_DMA_EXTRACT", "0") == "1"
 
 #: A/B switch for the i64 packed sort: (key << 32) | idx sorted as ONE
@@ -94,24 +95,33 @@ _DMA_EXTRACT = os.environ.get("MSM_DMA_EXTRACT", "0") == "1"
 #: the two are a wash (experiments/sort_pack_probe.py: 50.3 vs 52.5 ms at
 #: [8, 2^20]); this switch exists to re-test IN CONTEXT, where the round-4
 #: XProf budget attributes ~11 ms at 2^20 to payload split/concat fusions
-#: around the variadic sort (VERDICT r4 #6).
+#: around the variadic sort (VERDICT r4 #6).  In context it LOSES: 418.8 vs
+#: 411.3 ms at 2^20 (oracle MATCH) — the pack/unpack shifts sit on the
+#: critical path while the payload splits schedule into gaps; default OFF
+#: (docs/MEASUREMENTS.md round-5 smalls entry).
 _SORT_I64 = os.environ.get("MSM_SORT_I64", "0") == "1"
 
 #: A/B switch for the quarter-store scan (VERDICT r4 #2): the scan kernel
 #: stores only steps (4i+2, 4i+3) — write traffic halved — and extraction
 #: reconstructs unstored steps with <= 2 madds fused into the carry-combine
 #: kernel (ops/pallas/ec.py::extract_reconstruct_rows).  Only the production
-#: rm+sames doubled-table path supports it.  Default from measurement (see
-#: docs/MEASUREMENTS.md round-5 entry).
+#: rm+sames doubled-table path supports it.  Measured and REJECTED: 459.2 vs
+#: 411.3 ms at 2^20 (oracle MATCH both) — holding packed values across 4
+#: steps extends accumulator live ranges and the fused reconstruction still
+#: pays two extra row gathers per group; the pair-store layout is final
+#: (docs/MEASUREMENTS.md round-5 quarter-store entry).
 _SCAN_QSTORE = os.environ.get("MSM_SCAN_QSTORE", "0") == "1"
 
 #: Below this many gathered rows per group the XLA gather wins instead —
 #: the DMA kernel's fixed costs (descriptor-issue ramp, no fusion with the
-#: surrounding program) dominate at small n.  Round-5 same-session A/B on
-#: v5e (end-to-end medians, experiments/ log in docs/MEASUREMENTS.md):
-#: 1.3 M rows/group (2^16/c=13): XLA wins; 2.6 M (2^17/c=13): DMA wins;
-#: 4.2 M (2^22/c=16 at wg=1) and up: DMA wins.  Env-overridable for gate
-#: probes (MSM_DMA_GATHER_MIN_ROWS).
+#: surrounding program) dominate at small n.  Measured end-to-end series
+#: (fresh-process medians, oracle MATCH; docs/MEASUREMENTS.md round-5 gate
+#: entry): 1.3 M rows/group (2^16/c=13) XLA 50.4 vs DMA 60.7; 2.6 M
+#: (2^17/c=13) 95 vs 87.8; 3.4 M (2^18/c=13) 154.0 vs 137.0; 4.2 M
+#: (2^19/c=16) 270.3 vs 238.4; 16.8 M (2^22/c=16) 2461.6 vs 2226.3 —
+#: monotone around one crossover between 1.3 M and 2.6 M; the 2^21 gate sits
+#: inside the bracket.  Env-overridable for gate probes
+#: (MSM_DMA_GATHER_MIN_ROWS).
 _DMA_GATHER_MIN_ROWS = int(os.environ.get("MSM_DMA_GATHER_MIN_ROWS", 1 << 21))
 K = PS.K
 

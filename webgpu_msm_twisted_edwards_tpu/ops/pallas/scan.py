@@ -44,7 +44,11 @@ TW = 64
 #: (ops/pallas/ec.py).  Gathers are row-count-bound, so unpacked rows are free
 #: and save the in-kernel limb interleave.  Width stays a full (8, 128) tile:
 #: narrower rows make the XLA gather *slower* and force relayouts (measured:
-#: TWR=64 cost +12 ms at 2^20 and doubled compile time).
+#: TWR=64 cost +12 ms at 2^20 and doubled compile time).  Re-probed under the
+#: round-5 DMA gather (experiments/row_width_probe.py): 64/32-u32 rows cannot
+#: ride the DMA row-copy at all (Mosaic (1, 128) lane tiling rejects sub-tile
+#: descriptors) and the XLA fallback degrades 110 -> 122 -> 334 ms per 2^23
+#: rows at 128/64/32 — TWR=128 re-affirmed (MEASUREMENTS.md round-5 entry).
 TWR = 128
 
 
