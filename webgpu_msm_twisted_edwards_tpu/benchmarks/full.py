@@ -129,7 +129,11 @@ def run(powers=(16, 17, 18, 19, 20), runs: int = 5, csv_path: str | None = None,
         dcoords = jax.device_put(jnp.asarray(coords))
         dscalars = jax.device_put(jnp.asarray(scalars))
         if use_pallas:
-            fn = lambda c, s: MP.msm_window_sums_staged(c, s, cfg, fold=True)
+            # The production dispatch (models/cuzk.py::compute_msm): blocked
+            # IS the staged pipeline below the device-memory envelope and
+            # streams point blocks above it (2^23+ on a 16 GB chip — the
+            # direct staged call RESOURCE_EXHAUSTs there).
+            fn = lambda c, s: MP.msm_window_sums_blocked(c, s, cfg, fold=True)
 
             def one_run():
                 t0 = time.time()
